@@ -1,13 +1,58 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fixtures.TranscriptGen
+import graft.validate.ValidationPipeline
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Transcript fixtures for `sfDir` (generated deterministically in-repo,
+    * since /root/testdata is read-only and the input_hint table shape is a
+    * transcripts stream).
+    */
+  private def tx(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = TranscriptGen.ensure(spark, sfDir)
+    TranscriptGen.readTranscripts(spark, p)
+  }
+
+  /** Flagship: the full validation pipeline on sf0.001 transcripts. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ValidationPipeline
+      .decide(spark, tx(spark, "/root/testdata/sf0.001"), TranscriptGen.catalog)
+      .toDF()
+      .select("conv_id", "turn_idx", "role", "decision", "reason", "uuid")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "validate_fused" -> ((s, dir) =>
+      ValidationPipeline.decide(s, tx(s, dir), TranscriptGen.catalog).toDF()
+        .select("conv_id", "turn_idx", "role", "decision", "reason", "uuid")
+        .orderBy("conv_id", "turn_idx")),
+    "q1_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum("l_extendedprice").as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          avg("l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |  avg(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
 }

@@ -1,0 +1,64 @@
+package graft.validate
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+
+/** The reference topology `stream → peek → filter → mapValues(tidy) →
+  * filter(validate) → peek → to` (TopologyProducer.java:126-140) as Spark
+  * stages.
+  *
+  * This is the FUSED hot path: tidy + parse stay Catalyst expressions
+  * (whole-stage codegen, parquet column pruning still applies upstream);
+  * the irreducibly order-sensitive validation fold (quirks Q2/Q4/Q9 —
+  * abort/last-wins/side-output semantics over the items array) runs as ONE
+  * narrow typed `map` with the dimension catalog as a broadcast variable —
+  * replacing the reference's per-record remote lookups (TP:196-208) with
+  * zero network and ZERO shuffles. The whole pipeline is embarrassingly
+  * parallel: throughput scales linearly with cores/executors, which is what
+  * the north-rule scaling criterion needs.
+  *
+  * A relational (explode + broadcast-join) formulation of the same
+  * semantics lives in [[RelationalValidation]]; tests assert both agree.
+  */
+object ValidationPipeline {
+
+  /** T2 (null filter, TP:133) + T3 (tidy, TP:134,148-151 — BEFORE parse and
+    * over the whole raw string, quirk Q6; the forwarded record is the tidied
+    * one) + single `from_json` (fixing the reference's double parse,
+    * TP:167+178).
+    */
+  def parsed(transcripts: DataFrame): DataFrame =
+    transcripts
+      .filter(col("text").isNotNull)
+      .select(
+        col("conv_id"), col("turn_idx"), col("role"),
+        regexp_replace(col("text"), "Adamm", "Adam").as("text"),
+        col("tool"), col("ts"))
+      .withColumn("msg", from_json(col("text"), Schemas.envelope))
+
+  /** Full decision stream/frame. Works identically for batch and streaming
+    * DataFrames (same stages — parity by construction, SURVEY.md §7.2.3).
+    */
+  def decide(spark: SparkSession, transcripts: DataFrame, cat: Catalog,
+      enableBlacklist: Boolean = true): Dataset[TurnDecision] = {
+    import spark.implicits._
+    val bcat = spark.sparkContext.broadcast(cat)
+    parsed(transcripts)
+      .as[ParsedTurn]
+      .map(t => Evaluator.evalTurn(t, bcat.value, enableBlacklist))
+  }
+
+  /** The three routed outputs of one decision frame (topics `valid_data`,
+    * `blacklists`, `webdata` — TP:137, TP:286, TP:223).
+    */
+  def routes(decisions: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val valid = decisions.filter(col("decision") === "valid")
+      .select("conv_id", "turn_idx", "role", "tool", "ts", "text", "reason", "promoted")
+    val rejected = decisions.filter(col("decision") === "rejected")
+      .select("conv_id", "turn_idx", "role", "tool", "ts", "reason", "uuid")
+    val webdata = decisions
+      .select(col("conv_id"), col("turn_idx"), explode(col("webdata")).as("payload"))
+    (valid, rejected, webdata)
+  }
+}
