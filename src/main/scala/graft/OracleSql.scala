@@ -1,0 +1,172 @@
+package graft
+
+/** DuckDB oracle SQL for the driver's independent correctness compare.
+  *
+  * `decisions(txDir)` re-derives the FULL message decision — tidy, JSON
+  * envelope parse, fixture-JWT base64 decode, the three dimension joins,
+  * regex/ABN/Luhn validation and the abort/last-answer-wins fold — in pure
+  * DuckDB SQL over the same parquet fixtures the Spark queries read.
+  * Verified to agree with the engine on every row of the sf0.01 corpus.
+  *
+  * Caveats (documented divergences, impossible in fixture data):
+  *  - values like "+1…" that are non-numeric yet Integer.parseInt-able
+  *    would checksum in the reference but abort here;
+  *  - regexes beyond RE2 (backrefs/lookaround) differ between Java regex
+  *    (engine) and DuckDB's RE2 (oracle). Fixture regexes are RE2-safe.
+  */
+object OracleSql {
+
+  def decisions(txDir: String): String = s"""
+WITH tx AS (
+  SELECT conv_id, turn_idx, role,
+         replace(text, 'Adamm', 'Adam') AS text
+  FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
+  WHERE text IS NOT NULL
+),
+txj AS (
+  SELECT *, CASE WHEN json_valid(text) THEN text END AS j FROM tx
+),
+env AS (
+  SELECT conv_id, turn_idx, role, text,
+    json_extract_string(j,'$$.msg_type') AS msg_type,
+    json_extract_string(j,'$$.data_type') AS data_type,
+    json_extract_string(j,'$$.token') AS token,
+    CASE WHEN json_extract(j,'$$.items') IS NOT NULL
+              AND json_type(json_extract(j,'$$.items')) = 'ARRAY'
+         THEN from_json(json_extract(j,'$$.items'),
+              '[{"sourceCode":"VARCHAR","targetCode":"VARCHAR","attributeCode":"VARCHAR","value":"VARCHAR"}]')
+    END AS items,
+    (j IS NOT NULL AND json_extract_string(j,'$$.msg_type') IS NOT NULL
+       AND json_extract_string(j,'$$.data_type') IS NOT NULL) AS wellformed
+  FROM txj
+),
+claims AS (
+  SELECT *,
+    CASE WHEN token IS NOT NULL AND len(string_split(token,'.')) = 3
+              AND regexp_full_match(split_part(token,'.',2), '[A-Za-z0-9_-]+')
+         THEN decode(from_base64(
+                replace(replace(split_part(token,'.',2),'-','+'),'_','/') ||
+                repeat('=', (4 - length(split_part(token,'.',2)) % 4) % 4)))
+    END AS payload
+  FROM env
+),
+msgs AS (
+  SELECT conv_id, turn_idx, role, text, msg_type, data_type, token, items,
+    CASE WHEN payload IS NOT NULL AND json_valid(payload)
+              AND json_extract_string(payload,'$$.sub') IS NOT NULL
+              AND json_extract_string(payload,'$$.userCode') IS NOT NULL
+         THEN json_extract_string(payload,'$$.sub') END AS uuid,
+    CASE WHEN payload IS NOT NULL AND json_valid(payload)
+              AND json_extract_string(payload,'$$.sub') IS NOT NULL
+              AND json_extract_string(payload,'$$.userCode') IS NOT NULL
+         THEN json_extract_string(payload,'$$.userCode') END AS user_code,
+    CASE
+      WHEN NOT wellformed THEN 'MALFORMED_NOUUID'
+      WHEN msg_type != 'DATA_MSG' OR data_type != 'Answer' THEN 'PASS'
+      WHEN token IS NULL THEN 'MALFORMED_NOUUID'
+      WHEN payload IS NULL OR NOT json_valid(payload)
+           OR json_extract_string(payload,'$$.sub') IS NULL
+           OR json_extract_string(payload,'$$.userCode') IS NULL THEN 'MALFORMED_NOUUID'
+      WHEN items IS NULL THEN 'MALFORMED_UUID'
+      ELSE 'FOLD'
+    END AS klass
+  FROM claims
+),
+answers AS (
+  SELECT conv_id, turn_idx, user_code, uuid,
+         unnest(generate_series(1, len(items))) AS pos, items
+  FROM msgs WHERE klass = 'FOLD'
+),
+astep AS (
+  SELECT a.conv_id, a.turn_idx, a.pos,
+    a.items[a.pos] AS ans,
+    a.user_code,
+    se.code AS se_code, te.code AS te_code,
+    de.target_code AS de_code, de.allowed,
+    at.attribute_code AS at_code, at.validations
+  FROM answers a
+  LEFT JOIN read_parquet('$txDir/entities.parquet/*.parquet') se
+    ON a.items[a.pos].sourceCode = se.code
+  LEFT JOIN read_parquet('$txDir/entities.parquet/*.parquet') te
+    ON a.items[a.pos].targetCode = te.code
+  LEFT JOIN read_parquet('$txDir/def_allowed.parquet/*.parquet') de
+    ON a.items[a.pos].targetCode = de.target_code
+  LEFT JOIN read_parquet('$txDir/attribute_defs.parquet/*.parquet') at
+    ON a.items[a.pos].attributeCode = at.attribute_code
+),
+stepped AS (
+  SELECT conv_id, turn_idx, pos,
+    CASE
+      WHEN ans.sourceCode IS NULL OR user_code != ans.sourceCode
+        THEN struct_pack(kind := 'C', ok := false, reason := 'SOURCE_NOT_USER')
+      WHEN se_code IS NULL THEN struct_pack(kind := 'A', ok := false, reason := 'SOURCE_MISSING')
+      WHEN te_code IS NULL THEN struct_pack(kind := 'C', ok := false, reason := 'TARGET_MISSING')
+      WHEN de_code IS NULL THEN struct_pack(kind := 'A', ok := false, reason := 'DEF_MISSING')
+      WHEN NOT list_contains(allowed, 'ATT_' || coalesce(ans.attributeCode, 'null'))
+        THEN struct_pack(kind := 'C', ok := false, reason := 'ATT_NOT_ALLOWED')
+      WHEN at_code IS NULL THEN struct_pack(kind := 'C', ok := false, reason := 'ATT_UNKNOWN')
+      WHEN ans.attributeCode = 'PRI_ABN' THEN
+        CASE
+          WHEN ans.value IS NULL OR NOT regexp_full_match(ans.value, '[0-9]+')
+            THEN struct_pack(kind := 'A', ok := false, reason := 'ABN_FAIL')
+          WHEN length(ans.value) != 11
+            THEN struct_pack(kind := 'C', ok := false, reason := 'ABN_FAIL')
+          WHEN (list_sum(list_transform(generate_series(1, 11), i ->
+                 CAST(ans.value[i] AS INT) *
+                 ([10,1,3,5,7,9,11,13,15,17,19])[i])) - 10) % 89 = 0
+            THEN struct_pack(kind := 'C', ok := true, reason := NULL)
+          ELSE struct_pack(kind := 'C', ok := false, reason := 'ABN_FAIL')
+        END
+      WHEN ans.attributeCode = 'PRI_CREDITCARD' THEN
+        CASE
+          WHEN ans.value IS NULL THEN struct_pack(kind := 'A', ok := false, reason := 'LUHN_FAIL')
+          WHEN length(ans.value) = 0 THEN struct_pack(kind := 'C', ok := true, reason := NULL)
+          WHEN NOT regexp_full_match(ans.value, '[0-9]+')
+            THEN struct_pack(kind := 'A', ok := false, reason := 'LUHN_FAIL')
+          WHEN list_sum(list_transform(generate_series(1, length(ans.value)), j ->
+                 CASE WHEN j % 2 = 0 THEN
+                   CASE WHEN 2*CAST(ans.value[length(ans.value)-j+1] AS INT) > 9
+                        THEN 2*CAST(ans.value[length(ans.value)-j+1] AS INT) % 10 + 1
+                        ELSE 2*CAST(ans.value[length(ans.value)-j+1] AS INT) END
+                 ELSE CAST(ans.value[length(ans.value)-j+1] AS INT) END)) % 10 = 0
+            THEN struct_pack(kind := 'C', ok := true, reason := NULL)
+          ELSE struct_pack(kind := 'C', ok := false, reason := 'LUHN_FAIL')
+        END
+      WHEN ans.value IS NULL THEN struct_pack(kind := 'A', ok := false, reason := 'REGEX_FAIL')
+      WHEN len(list_filter(validations, v -> regexp_full_match(ans.value, v.regex))) > 0
+        THEN struct_pack(kind := 'C', ok := true, reason := NULL)
+      ELSE struct_pack(kind := 'C', ok := false, reason := 'REGEX_FAIL')
+    END AS step
+  FROM astep
+),
+fold AS (
+  SELECT conv_id, turn_idx,
+    min(pos) FILTER (WHERE step.kind = 'A') AS abort_pos,
+    arg_min(step.reason, pos) FILTER (WHERE step.kind = 'A') AS abort_reason,
+    arg_max(struct_pack(ok := step.ok, reason := step.reason), pos) AS last
+  FROM stepped
+  GROUP BY conv_id, turn_idx
+)
+SELECT m.conv_id, m.turn_idx, m.role,
+  CASE
+    WHEN m.klass = 'PASS' THEN 'valid'
+    WHEN m.klass IN ('MALFORMED_NOUUID','MALFORMED_UUID') THEN 'rejected'
+    WHEN f.conv_id IS NULL THEN 'valid'
+    WHEN f.abort_pos IS NOT NULL THEN 'rejected'
+    WHEN f.last.ok THEN 'valid' ELSE 'rejected'
+  END AS decision,
+  CASE
+    WHEN m.klass = 'PASS' THEN NULL
+    WHEN m.klass IN ('MALFORMED_NOUUID','MALFORMED_UUID') THEN 'MALFORMED'
+    WHEN f.conv_id IS NULL THEN NULL
+    WHEN f.abort_pos IS NOT NULL THEN f.abort_reason
+    WHEN f.last.ok THEN NULL ELSE f.last.reason
+  END AS reason,
+  CASE
+    WHEN m.klass = 'MALFORMED_UUID' THEN m.uuid
+    WHEN m.klass = 'FOLD' AND f.conv_id IS NOT NULL AND
+         (f.abort_pos IS NOT NULL OR NOT f.last.ok) THEN m.uuid
+  END AS uuid
+FROM msgs m LEFT JOIN fold f USING (conv_id, turn_idx)
+ORDER BY conv_id, turn_idx"""
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.fixtures.TranscriptGen
-import graft.validate.ValidationPipeline
+import graft.validate.{RelationalValidation, ValidationPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -30,6 +30,13 @@ object SparkEntry {
       ValidationPipeline.decide(s, tx(s, dir), TranscriptGen.catalog).toDF()
         .select("conv_id", "turn_idx", "role", "decision", "reason", "uuid")
         .orderBy("conv_id", "turn_idx")),
+    "validate_relational" -> ((s, dir) => {
+      val p = TranscriptGen.ensure(s, dir)
+      val (ent, defA, attr) = TranscriptGen.readCatalogFrames(s, p)
+      RelationalValidation.decide(s, TranscriptGen.readTranscripts(s, p), ent, defA, attr)
+        .select("conv_id", "turn_idx", "role", "decision", "reason", "uuid")
+        .orderBy("conv_id", "turn_idx")
+    }),
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -45,6 +52,11 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    // Both validation variants must reproduce the full decision oracle.
+    // The driver runs Verify at sf0.01; Verify generates the transcript
+    // fixtures at this in-repo path before the oracle executes.
+    "validate_fused" -> OracleSql.decisions(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
+    "validate_relational" -> OracleSql.decisions(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
