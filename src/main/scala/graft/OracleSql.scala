@@ -169,4 +169,69 @@ SELECT m.conv_id, m.turn_idx, m.role,
   END AS uuid
 FROM msgs m LEFT JOIN fold f USING (conv_id, turn_idx)
 ORDER BY conv_id, turn_idx"""
+
+  /** Batch dedup: duplicate-injected input (every turn_idx=0 row twice),
+    * first-wins by (ts, role). Mirrors DedupState.dedupBatch.
+    */
+  def dedup(txDir: String): String = s"""
+WITH src AS (
+  SELECT * FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
+),
+dup AS (
+  SELECT * FROM src
+  UNION ALL
+  SELECT * FROM src WHERE turn_idx = 0
+)
+SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts ASC NULLS LAST, role ASC) AS rn
+  FROM dup
+) WHERE rn = 1
+ORDER BY conv_id, turn_idx"""
+
+  /** Gaps-and-islands reproduction of Spark's session_window(ts, gap):
+    * a new session starts when the gap to the previous event is >= `gap`;
+    * session_end = last event + gap.
+    */
+  def sessionize(txDir: String, gapMinutes: Int): String = s"""
+WITH t AS (
+  SELECT conv_id, role, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY conv_id ORDER BY ts)
+              >= INTERVAL $gapMinutes MINUTE
+         OR lag(ts) OVER (PARTITION BY conv_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
+),
+isl AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY conv_id ORDER BY ts
+    ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM t
+)
+SELECT conv_id,
+  min(ts) AS session_start,
+  max(ts) + INTERVAL $gapMinutes MINUTE AS session_end,
+  count(*) AS n_turns,
+  sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+  sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool,
+  min(ts) AS ts_first,
+  max(ts) AS ts_last
+FROM isl
+GROUP BY conv_id, sess_id
+ORDER BY conv_id, session_start"""
+
+  /** Interval join of user turns to following tool turns (TurnJoin). */
+  def turnJoin(txDir: String, horizonMinutes: Int): String = s"""
+WITH src AS (
+  SELECT * FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
+)
+SELECT u.conv_id AS conv_id, u.turn_idx AS u_turn_idx,
+       t.turn_idx AS t_turn_idx, u.ts AS u_ts, t.ts AS t_ts,
+       t.tool AS tool
+FROM src u JOIN src t
+  ON u.conv_id = t.conv_id
+ AND u.role = 'user' AND t.role = 'tool'
+ AND t.ts >= u.ts AND t.ts <= u.ts + INTERVAL $horizonMinutes MINUTE
+ AND t.turn_idx > u.turn_idx
+ORDER BY conv_id, u_turn_idx, t_turn_idx"""
 }

@@ -37,6 +37,19 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "role", "decision", "reason", "uuid")
         .orderBy("conv_id", "turn_idx")
     }),
+    "dedup_turns" -> ((s, dir) => {
+      import s.implicits._
+      val t = tx(s, dir).as[graft.model.Turn]
+      val withDups = t.union(t.filter(_.turn_idx == 0))
+      graft.streaming.DedupState.dedupBatch(s, withDups).toDF()
+        .orderBy("conv_id", "turn_idx")
+    }),
+    "sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.sessions(tx(s, dir), gap = "2 minutes")
+        .orderBy("conv_id", "session_start")),
+    "turn_join" -> ((s, dir) =>
+      graft.streaming.TurnJoin.userToolPairs(tx(s, dir), horizon = "3 minutes")
+        .orderBy("conv_id", "u_turn_idx", "t_turn_idx")),
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -57,6 +70,9 @@ object SparkEntry {
     // fixtures at this in-repo path before the oracle executes.
     "validate_fused" -> OracleSql.decisions(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "validate_relational" -> OracleSql.decisions(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
+    "dedup_turns" -> OracleSql.dedup(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
+    "sessionize" -> OracleSql.sessionize(TranscriptGen.fixtureDir("/root/testdata/sf0.01"), 2),
+    "turn_join" -> OracleSql.turnJoin(TranscriptGen.fixtureDir("/root/testdata/sf0.01"), 3),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

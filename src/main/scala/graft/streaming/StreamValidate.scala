@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+import graft.model.Catalog
+import graft.sink.ExactlyOnceSink
+import graft.validate.ValidationPipeline
+
+/** The streaming topology: `readStream(transcripts) → dedup state →
+  * validate (same stages as batch — parity by construction) →
+  * foreachBatch exactly-once 3-way sink` (SURVEY.md §3.1 Spark equivalent).
+  *
+  * Source is a schema'd parquet-dir file stream (the local stand-in for
+  * the Iceberg streaming source — no Iceberg jars offline, SURVEY.md §7.6;
+  * swapping `format("parquet")` for `format("iceberg")` is the only
+  * production delta). Checkpointed: stop/restart resumes from offsets and
+  * the sink manifest suppresses the replayed batch.
+  *
+  * Partitioning note (north rule): the stateless validation stages are
+  * NARROW — no shuffle at all. The only exchange is the one Spark inserts
+  * for the conv_id-keyed dedup state, which is hash-partitioned over
+  * `spark.sql.shuffle.partitions`; a hot conversation lands on one
+  * partition but its cost is a Set lookup per row, so skew shows up only
+  * if one conversation dominates the whole stream volume — tracked by the
+  * per-partition metrics table.
+  */
+object StreamValidate {
+
+  final case class Config(
+      inputDir: String,
+      outDir: String,
+      checkpointDir: String,
+      enableBlacklist: Boolean = true,
+      withDedup: Boolean = true,
+      watermark: String = "10 minutes",
+      maxFilesPerTrigger: Int = 4)
+
+  def decisions(spark: SparkSession, cfg: Config, cat: Catalog): DataFrame = {
+    import spark.implicits._
+    val raw = spark.readStream
+      .schema(graft.model.Schemas.transcript)
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .parquet(cfg.inputDir)
+    val turns =
+      if (!cfg.withDedup) raw
+      else DedupState.dedup(spark, raw.as[graft.model.Turn], cfg.watermark)
+        .drop("out_of_order")
+    ValidationPipeline.decide(spark, turns.toDF(), cat, cfg.enableBlacklist).toDF()
+  }
+
+  /** Start the query; returns the running handle. */
+  def start(spark: SparkSession, cfg: Config, cat: Catalog): StreamingQuery = {
+    val sink = new ExactlyOnceSink(cfg.outDir)
+    decisions(spark, cfg, cat).writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (df: DataFrame, id: Long) => sink.writeBatch(df, id) }
+      .start()
+  }
+
+  /** Listener appending one JSON line per finished batch with the state-op
+    * metrics the sink cannot see — notably `numRowsDroppedByWatermark`
+    * (the `dropped-late` lineage metric) — keyed by batchId, so a resumed
+    * query continues the same file idempotently (last writer wins per id).
+    */
+  final class MetricsListener(path: String) extends StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      val dropped = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+      val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+      val line = s"""{"batch_id":${p.batchId},"input_rows":${p.numInputRows},""" +
+        s""""dropped_late":$dropped,"state_rows":$stateRows,""" +
+        s""""rows_per_sec":${p.processedRowsPerSecond}}""" + "\n"
+      Files.createDirectories(Paths.get(path).getParent)
+      Files.write(Paths.get(path), line.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
+  }
+}

@@ -1,0 +1,210 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.fixtures.TranscriptGen
+import graft.model.Turn
+import graft.sink.ExactlyOnceSink
+import graft.streaming.{DedupState, Sessionize, StreamValidate, TurnJoin}
+import graft.validate.ValidationPipeline
+
+/** Streaming-layer goldens: batch/stream parity, checkpoint resume,
+  * exactly-once sink replay, stateful dedup, session windows, and the
+  * stream-stream user⋈tool join (SURVEY.md §5.2 items 2-3, §2.4).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString
+
+  private def ts(sec: Long): Timestamp =
+    new Timestamp((TranscriptGen.BaseEpoch + sec) * 1000L)
+
+  // ------------------------------------------------------------------ parity
+
+  test("streaming decisions == batch decisions on the same corpus") {
+    import spark.implicits._
+    val in = tmp("in"); val out = tmp("out"); val ck = tmp("ck")
+    val turns = TranscriptGen.turnsDs(spark, 40, 10, 20)
+    turns.repartition(6).write.mode("append").parquet(in)
+
+    val cfg = StreamValidate.Config(in, out, ck, withDedup = false, maxFilesPerTrigger = 2)
+    val q = StreamValidate.start(spark, cfg, TranscriptGen.catalog)
+    q.processAllAvailable(); q.stop()
+
+    val sink = new ExactlyOnceSink(out)
+    val streamed = sink.read(spark, "valid").select("conv_id", "turn_idx", "text")
+      .unionByName(sink.read(spark, "rejected")
+        .withColumn("text", lit(null).cast("string"))
+        .select("conv_id", "turn_idx", "text"))
+    val batch = ValidationPipeline.decide(spark, turns.toDF(), TranscriptGen.catalog).toDF()
+
+    assert(sink.committedBatches().size > 1, "expected multiple micro-batches")
+    assert(streamed.count() == batch.count())
+    val sKeys = streamed.select("conv_id", "turn_idx").as[(String, Int)].collect().toSet
+    val bKeys = batch.select("conv_id", "turn_idx").as[(String, Int)].collect().toSet
+    assert(sKeys == bKeys)
+    // valid rows carry the tidied text forward — spot-check equality
+    val sValid = sink.read(spark, "valid").select("conv_id", "turn_idx", "text")
+      .as[(String, Int, String)].collect().toMap2
+    val bValid = batch.filter($"decision" === "valid")
+      .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect().toMap2
+    assert(sValid == bValid)
+  }
+
+  private implicit class Tup3Ops(rows: Array[(String, Int, String)]) {
+    def toMap2: Map[(String, Int), String] = rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+
+  // -------------------------------------------------------- checkpoint resume
+
+  test("checkpoint stop/restart resumes without duplicate or lost rows") {
+    import spark.implicits._
+    val in = tmp("in2"); val out = tmp("out2"); val ck = tmp("ck2")
+    val all = TranscriptGen.turnsDs(spark, 30, 10, 0).collect()
+    val (first, second) = all.splitAt(all.length / 2)
+
+    first.toSeq.toDS().repartition(3).write.mode("append").parquet(in)
+    val cfg = StreamValidate.Config(in, out, ck, withDedup = false, maxFilesPerTrigger = 2)
+    val q1 = StreamValidate.start(spark, cfg, TranscriptGen.catalog)
+    q1.processAllAvailable(); q1.stop()
+
+    second.toSeq.toDS().repartition(3).write.mode("append").parquet(in)
+    val q2 = StreamValidate.start(spark, cfg, TranscriptGen.catalog)
+    q2.processAllAvailable(); q2.stop()
+
+    val sink = new ExactlyOnceSink(out)
+    val got = sink.read(spark, "valid").select("conv_id", "turn_idx")
+      .unionByName(sink.read(spark, "rejected").select("conv_id", "turn_idx"))
+      .as[(String, Int)].collect()
+    assert(got.length == got.distinct.length, "duplicates after restart")
+    val want = all.filter(_.text != null).map(t => (t.conv_id, t.turn_idx)).toSet
+    assert(got.toSet == want, "lost or extra rows after restart")
+  }
+
+  // ------------------------------------------------------- exactly-once sink
+
+  test("sink replay of a committed batch is a no-op; torn write is repaired") {
+    import spark.implicits._
+    val out = tmp("out3")
+    val sink = new ExactlyOnceSink(out)
+    val dec = ValidationPipeline.decide(spark,
+      TranscriptGen.turnsDs(spark, 5, 10, 0).toDF(), TranscriptGen.catalog).toDF()
+
+    sink.writeBatch(dec, 7L)
+    val n1 = sink.read(spark, "valid").count()
+    sink.writeBatch(dec, 7L) // replay
+    assert(sink.read(spark, "valid").count() == n1)
+
+    // torn write: data landed for batch 8 but no commit marker
+    ValidationPipeline.routes(dec)._1.limit(3)
+      .write.mode("overwrite").parquet(s"$out/valid/batch_id=8")
+    assert(sink.read(spark, "valid").count() == n1, "uncommitted batch visible")
+    sink.writeBatch(dec, 8L) // repair overwrites the torn partition
+    assert(sink.read(spark, "valid").filter($"batch_id" === 8).count() ==
+      dec.filter($"decision" === "valid").count())
+  }
+
+  // ------------------------------------------------------------ dedup state
+
+  test("stateful dedup: first wins, duplicates dropped, out-of-order flagged") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val deduped = DedupState.dedup(spark, mem.toDS(), watermark = "1 minute", gap = "5 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+
+    def t(c: String, i: Int, sec: Long) = Turn(c, i, "user", s"m$i", null, ts(sec))
+    mem.addData(t("C1", 0, 0), t("C1", 1, 10), t("C1", 0, 12)) // dup of turn 0
+    q.processAllAvailable()
+    mem.addData(t("C1", 3, 20), t("C1", 2, 25)) // turn 2 arrives after 3
+    q.processAllAvailable()
+    val rows = spark.table("dedup_out")
+      .select("conv_id", "turn_idx", "out_of_order")
+      .as[(String, Int, Boolean)].collect().sortBy(_._2)
+    q.stop()
+    assert(rows.map(_._2).toSeq == Seq(0, 1, 2, 3), s"got ${rows.toSeq}")
+    assert(rows.count(_._3) == 1 && rows.find(_._3).get._2 == 2)
+  }
+
+  test("batch dedup keeps exactly one row per (conv_id, turn_idx)") {
+    import spark.implicits._
+    val turns = TranscriptGen.turnsDs(spark, 10, 10, 0)
+    val withDups = turns.union(turns.limit(25))
+    val dd = DedupState.dedupBatch(spark, withDups)
+    assert(dd.count() == turns.count())
+  }
+
+  // ---------------------------------------------------------- session window
+
+  test("session windows split on gap and close under watermark (streaming)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val sess = Sessionize.sessions(mem.toDS().toDF(), gap = "1 minute",
+      watermark = Some("30 seconds"))
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    def t(c: String, i: Int, sec: Long) = Turn(c, i, "user", "x", null, ts(sec))
+    // session 1: 0..30s; gap > 1min; session 2: 200..210s
+    mem.addData(t("S1", 0, 0), t("S1", 1, 30), t("S1", 2, 200), t("S1", 3, 210))
+    q.processAllAvailable()
+    mem.addData(t("S1", 4, 1000)) // advances watermark, closes both sessions
+    q.processAllAvailable()
+    val rows = spark.table("sess_out")
+      .select("conv_id", "n_turns").as[(String, Long)].collect()
+    q.stop()
+    assert(rows.sortBy(_._2).map(_._2).toSeq == Seq(2, 2), s"got ${rows.toSeq}")
+  }
+
+  test("batch sessionize matches gaps-and-islands on fixtures") {
+    import spark.implicits._
+    val turns = TranscriptGen.turnsDs(spark, 20, 10, 0).toDF()
+    val s = Sessionize.sessions(turns, gap = "1 minute")
+    // per-conversation turn counts are conserved
+    val bySess = s.groupBy("conv_id").agg(sum("n_turns").as("n")).as[(String, Long)].collect().toMap
+    val byConv = turns.groupBy("conv_id").count().as[(String, Long)].collect().toMap
+    assert(bySess == byConv)
+    assert(s.filter($"session_end" < $"session_start").count() == 0)
+  }
+
+  // ------------------------------------------------------- stream-stream join
+
+  test("user⋈tool interval join pairs tool turns within the horizon") {
+    import spark.implicits._
+    def t(c: String, i: Int, role: String, sec: Long, tool: String = null) =
+      Turn(c, i, role, "x", tool, ts(sec))
+    val turns = Seq(
+      t("J1", 0, "user", 0), t("J1", 1, "tool", 60, "search"),
+      t("J1", 2, "user", 120), t("J1", 3, "tool", 350, "calc"), // in range of turn 2 only
+      t("J2", 0, "user", 0) // no tool reply
+    ).toDS().toDF()
+    val joined = TurnJoin.userToolPairs(turns, horizon = "5 minutes")
+      .select("conv_id", "u_turn_idx", "t_turn_idx").as[(String, Int, Int)].collect().toSet
+    assert(joined == Set(("J1", 0, 1), ("J1", 2, 3)))
+  }
+
+  test("stream-stream join runs with bounded state (watermarked)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val joined = TurnJoin.userToolPairs(mem.toDS().toDF(), horizon = "2 minutes",
+      watermark = Some("1 minute"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("join_out").start()
+    def t(c: String, i: Int, role: String, sec: Long) = Turn(c, i, role, "x",
+      if (role == "tool") "search" else null, ts(sec))
+    mem.addData(t("C1", 0, "user", 0), t("C1", 1, "tool", 30))
+    q.processAllAvailable()
+    mem.addData(t("C1", 2, "user", 60), t("C1", 3, "tool", 90), t("C1", 9, "user", 2000))
+    q.processAllAvailable()
+    val rows = spark.table("join_out").select("u_turn_idx", "t_turn_idx")
+      .as[(Int, Int)].collect().toSet
+    q.stop()
+    assert(rows.contains((0, 1)) && rows.contains((2, 3)))
+    assert(!rows.exists(_._1 == 9))
+  }
+}
