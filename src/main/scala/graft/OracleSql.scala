@@ -234,4 +234,146 @@ FROM src u JOIN src t
  AND t.ts >= u.ts AND t.ts <= u.ts + INTERVAL $horizonMinutes MINUTE
  AND t.turn_idx > u.turn_idx
 ORDER BY conv_id, u_turn_idx, t_turn_idx"""
+
+  // --------------------------------------------------------------------
+  // Training-data pipeline ops over the driver's documents/embeddings
+  // tables (referenced by bare table name — the driver registers them).
+  // --------------------------------------------------------------------
+
+  /** Exact dedup over documents + planted exact copies (doc_id+200000). */
+  val dedupExact: String = """
+WITH input AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 20
+),
+h AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS text_hash
+  FROM input
+)
+SELECT doc_id, text_hash,
+  min(doc_id) OVER (PARTITION BY text_hash) AS keep_id,
+  doc_id = min(doc_id) OVER (PARTITION BY text_hash) AS keep
+FROM h
+ORDER BY doc_id"""
+
+  /** Natural 3-gram Jaccard pairs over documents at threshold 0.05. */
+  val ngramJaccard: String = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(ws) - 2, 0)),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w
+),
+ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared, sa.n AS na, sb.n AS nb,
+  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.05
+ORDER BY doc_a, doc_b"""
+
+  private val allStop: String =
+    graft.ops.TextMetrics.stopwords.flatMap(_._2).map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Quality metrics — identical arithmetic/order to TextMetrics.quality. */
+  val textQuality: String = s"""
+WITH w AS (
+  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n_chars_text,
+    CAST(len(ws) AS DOUBLE) AS n_words,
+    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
+    CAST(len(list_filter(ws, x -> list_contains($allStop, x))) AS DOUBLE) AS stop_hits,
+    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS mean_word_len
+  FROM w
+)
+SELECT doc_id, n_chars_text, n_words,
+  punct / n_chars_text AS punct_ratio,
+  stop_hits / n_words AS stopword_ratio,
+  mean_word_len,
+  least(n_words / 50.0, 1.0) * 0.4
+    + (1.0 - least(punct / n_chars_text * 5.0, 1.0)) * 0.2
+    + least(stop_hits / n_words * 5.0, 1.0) * 0.2
+    + (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2
+    AS quality_score
+FROM m ORDER BY doc_id"""
+
+  val tokenCounts: String = """
+SELECT doc_id,
+  len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
+FROM documents ORDER BY doc_id"""
+
+  /** Stopword-hit language ID, first-in-order argmax (de,en,es,fr). */
+  val langId: String = {
+    val hitCols = graft.ops.TextMetrics.stopwords.map { case (lang, sw) =>
+      val lst = sw.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(ws, x -> list_contains($lst, x))) AS hits_$lang"
+    }.mkString(",\n    ")
+    val langs = graft.ops.TextMetrics.stopwords.map(_._1)
+    val gmax = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+    val caseChain = langs.map(l => s"WHEN hits_$l = $gmax THEN '$l'").mkString(" ")
+    s"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
+),
+h AS (
+  SELECT doc_id,
+    $hitCols
+  FROM w
+)
+SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+  CASE $caseChain END AS lang_pred
+FROM h ORDER BY doc_id"""
+  }
+
+  /** Polynomial rolling-hash fingerprint (same mod arithmetic/order). */
+  val docFingerprint: String = s"""
+WITH n AS (
+  SELECT doc_id,
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+)
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(1, length(t)), i -> CAST(ascii(t[i]) AS BIGINT))),
+    (acc, c) -> (acc * 31 + c) % ${graft.ops.TextMetrics.FpMod}) AS fingerprint
+FROM n ORDER BY doc_id"""
+
+  /** Brute-force cosine top-k (k=10, stride=50), sequential-sum doubles. */
+  val cosineTopK: String = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(qe)),
+      i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (a,x) -> a + x)
+    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(qe)),
+         i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))), (a,x) -> a + x))
+     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len(e.embedding)),
+         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (a,x) -> a + x)))
+    AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id != q.q_id
+)
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY q_id, rank"""
 }

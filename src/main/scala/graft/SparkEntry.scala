@@ -50,6 +50,55 @@ object SparkEntry {
     "turn_join" -> ((s, dir) =>
       graft.streaming.TurnJoin.userToolPairs(tx(s, dir), horizon = "3 minutes")
         .orderBy("conv_id", "u_turn_idx", "t_turn_idx")),
+    // ----- training-data pipeline ops (documents / embeddings tables) -----
+    "dedup_exact" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val planted = docs.select("doc_id", "text").unionByName(
+        docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      graft.ops.Dedup.exact(planted).orderBy("doc_id")
+    }),
+    "ngram_jaccard" -> ((s, dir) =>
+      graft.ops.Dedup.ngramJaccardPairs(
+        s.read.parquet(s"$dir/documents.parquet"), n = 3, threshold = 0.05)
+        .orderBy("doc_a", "doc_b")),
+    "minhash_pairs" -> ((s, dir) => // rows-only: xxhash64 not in DuckDB
+      graft.ops.Dedup.minhashLshPairs(
+        s.read.parquet(s"$dir/documents.parquet"), numHashes = 64, bands = 16,
+        threshold = 0.2).orderBy("doc_a", "doc_b")),
+    "simhash_pairs" -> ((s, dir) => // rows-only
+      graft.ops.Dedup.simhashPairs(
+        s.read.parquet(s"$dir/documents.parquet"), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")),
+    "text_quality" -> ((s, dir) =>
+      graft.ops.TextMetrics.quality(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")),
+    "token_counts" -> ((s, dir) =>
+      graft.ops.TextMetrics.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")),
+    "lang_id" -> ((s, dir) =>
+      graft.ops.TextMetrics.langId(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")),
+    "doc_fingerprint" -> ((s, dir) =>
+      graft.ops.TextMetrics.fingerprint(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")),
+    "cosine_topk" -> ((s, dir) =>
+      graft.ops.Similarity.bruteTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), k = 10, stride = 50)
+        .orderBy("q_id", "rank")),
+    "ivf_topk" -> ((s, dir) => // rows-only: approximate by construction
+      graft.ops.Similarity.ivfTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), k = 10, stride = 50,
+        nlist = 16, nprobe = 8).orderBy("q_id", "rank")),
+    "lsh_cosine_pairs" -> ((s, dir) => // rows-only
+      graft.ops.Similarity.lshCosinePairs(
+        s.read.parquet(s"$dir/embeddings.parquet"), planes = 8, threshold = 0.35)
+        .orderBy("vec_a", "vec_b")),
+    "multimodal_features" -> ((s, dir) => { // rows-only: stubbed decoder
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Multimodal.extractFeatures(s,
+        graft.ops.Multimodal.synthesize(s, docs)).toDF().orderBy("doc_id")
+    }),
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -73,6 +122,13 @@ object SparkEntry {
     "dedup_turns" -> OracleSql.dedup(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "sessionize" -> OracleSql.sessionize(TranscriptGen.fixtureDir("/root/testdata/sf0.01"), 2),
     "turn_join" -> OracleSql.turnJoin(TranscriptGen.fixtureDir("/root/testdata/sf0.01"), 3),
+    "dedup_exact" -> OracleSql.dedupExact,
+    "ngram_jaccard" -> OracleSql.ngramJaccard,
+    "text_quality" -> OracleSql.textQuality,
+    "token_counts" -> OracleSql.tokenCounts,
+    "lang_id" -> OracleSql.langId,
+    "doc_fingerprint" -> OracleSql.docFingerprint,
+    "cosine_topk" -> OracleSql.cosineTopK,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, smallest-to-largest
+  * hammer: exact hash dedup, n-gram Jaccard pairs, MinHash+LSH banding,
+  * SimHash. All are DataFrame-native; the candidate-generation joins are
+  * the only shuffles and each is keyed to avoid quadratic blowup
+  * (inverted-index join for Jaccard, band-bucket join for MinHash,
+  * bucket join for SimHash).
+  */
+object Dedup {
+
+  private def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Word n-gram shingles, distinct.
+    *
+    * PERFORMANCE-CRITICAL SHAPE: every reference to the words array sits in
+    * an ARGUMENT position of a higher-order function, never inside a lambda
+    * body. Catalyst does not CSE expressions referenced from lambda bodies —
+    * `element_at(ws, i+j)` inside `transform` would re-run the whole
+    * `split()` once per shingle per gram (the collapsed projection inlines
+    * it), turning a linear scan quadratic. `arrays_zip` of n shifted slices
+    * evaluates `ws` a constant number of times per row instead; the lambda
+    * touches only its bound variable.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = words(text)
+    val cnt = size(ws) - (n - 1)
+    array_distinct(
+      when(size(ws) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          arrays_zip((0 until n).map(j => slice(ws, lit(j + 1), cnt)): _*),
+          s => concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*))))
+  }
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup on md5 of whitespace-normalized lowercase text: keeps the
+    * smallest doc_id of each duplicate group. At scale this is one
+    * map-side hash + one shuffle on the 128-bit digest (not the text).
+    */
+  def exact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    docs
+      .withColumn("text_hash", md5(norm))
+      .withColumn("keep_id",
+        min("doc_id").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("text_hash")))
+      .select(col("doc_id"), col("text_hash"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("keep"))
+  }
+
+  // --------------------------------------------------------- n-gram Jaccard
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle
+    * (inverted-index self-join: explode shingles, join on shingle, count).
+    * Pairs below `threshold` are filtered out. The join key is the shingle,
+    * so common-shingle skew is the scale risk — mitigated upstream by
+    * dropping shingles with document frequency > maxDf (stopword shingles
+    * contribute candidates but never decide near-duplicates).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      maxDf: Int = 1000, textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles(col(textCol), n)).as("sh"))
+    val pruned = sh.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("df") <= maxDf).drop("df")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = pruned.as("a").join(pruned.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "shared", "na", "nb", "jaccard")
+  }
+
+  // ------------------------------------------------------------ MinHash+LSH
+
+  /** MinHash signature: sig[i] = min over shingles of xxhash64(i, shingle).
+    * Pure Catalyst — no UDF, no shuffle. Shaped as an elementwise-min FOLD
+    * over per-shingle hash rows (shingles in argument position, evaluated
+    * once) rather than `transform(seeds, i -> array_min(...shingles...))`,
+    * which would re-evaluate the shingle pipeline once per seed (see
+    * [[shingles]] on lambda-body re-evaluation).
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 64,
+      n: Int = 3, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig",
+        aggregate(
+          transform(col("sh"),
+            s => transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, s))),
+          array_repeat(lit(Long.MaxValue), numHashes),
+          (acc, hs) => zip_with(acc, hs, (a, b) => least(a, b))))
+      .drop("sh")
+
+  /** LSH banding: split the signature into `bands` bands of r rows, bucket
+    * on (band_idx, hash(band)); docs sharing any bucket are candidates;
+    * candidates are scored by the fraction of equal signature positions
+    * (the MinHash estimate of Jaccard) and kept at >= threshold.
+    * One shuffle on the band bucket + one aggregation — never all-pairs.
+    */
+  def minhashLshPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, n: Int = 3, textCol: String = "text",
+      maxBucket: Int = 500): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minhashSignatures(docs, numHashes, n, textCol)
+    // Candidates carry ONLY ids: never drag the signature expression
+    // through the self-join (projection collapse would recompute the
+    // whole shingle+hash pipeline PER CANDIDATE PAIR). The repartition is
+    // a materialization barrier: signatures are computed once per doc and
+    // shuffled as data.
+    val banded = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bucket")))
+      .repartition(col("band"), col("bucket"))
+    // skew guard: a bucket holding >maxBucket docs contributes O(n^2)
+    // pairs and near-zero signal (it's a low-entropy band); cap it.
+    val guarded = banded.withColumn("bn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket")))
+      .filter(col("bn") <= maxBucket).drop("bn")
+    val cand = guarded.as("a").join(guarded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      .repartition(col("doc_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      .repartition(col("doc_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over words: bit j of the fingerprint is the sign of
+    * sum over words of (+1/-1 per bit j of xxhash64(word)). Pure Catalyst:
+    * aggregate HOF with a 64-element vector accumulator.
+    */
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = array_distinct(words(col(textCol)))
+    val bitVec = aggregate(ws,
+      array_repeat(lit(0), 64),
+      (acc, w) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          j => when(call_function("shiftright", xxhash64(w), j).bitwiseAND(1) === 1, 1).otherwise(-1)),
+        (a, b) => a + b))
+    docs.select(col("doc_id"),
+      aggregate(
+        zip_with(bitVec, sequence(lit(0), lit(63)),
+          (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+        lit(0L), (acc, x) => acc.bitwiseOR(x)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: bucket by the 4 x 16-bit sub-blocks (a pair
+    * within Hamming distance 3 must agree on at least one block), then
+    * verify the exact Hamming distance <= maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", maxBucket: Int = 500): DataFrame = {
+    // Same pattern as minhashLshPairs: ids-only candidate join behind a
+    // materialization barrier, fingerprints re-attached by key, low-entropy
+    // mega-buckets capped (they dominate cost and carry no near-dup signal).
+    val sh = simhash(docs, textCol).repartition(col("doc_id"))
+    val blocks = sh.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(0xFFFFL)))
+          .as(Seq("block", "key")))
+      .repartition(col("block"), col("key"))
+    val guarded = blocks.withColumn("bn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("block", "key")))
+      .filter(col("bn") <= maxBucket).drop("bn")
+    val cand = guarded.as("a").join(guarded.as("b"),
+        col("a.block") === col("b.block") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val ha = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val hb = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    cand.join(ha, "doc_a").join(hb, "doc_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -28,18 +28,6 @@ final case class StepCol(kind: String, valid: Boolean, reason: String)
 
 object RelationalValidation {
 
-  private val abnStep = udf { (v: String) =>
-    Validators.abnOutcome(v) match {
-      case Left(r) => StepCol("A", valid = false, r)
-      case Right(b) => StepCol("C", b, if (b) null else Reasons.AbnFail)
-    }
-  }
-  private val luhnStep = udf { (v: String) =>
-    Validators.luhnOutcome(v) match {
-      case Left(r) => StepCol("A", valid = false, r)
-      case Right(b) => StepCol("C", b, if (b) null else Reasons.LuhnFail)
-    }
-  }
   /** Regex ANY-full-match with the per-executor compiled-pattern cache. */
   private val regexStep = udf { (v: String, regexes: Seq[String]) =>
     Validators.regexAnyOutcome(v, if (regexes == null) Nil else regexes) match {
@@ -52,6 +40,19 @@ object RelationalValidation {
   private def stepStruct(kind: String, reason: String): Column =
     struct(lit(kind).as("kind"), lit(false).as("valid"),
       (if (reason == null) lit(null).cast("string") else lit(reason)).as("reason"))
+
+  private val stepPass: Column =
+    struct(lit("C").as("kind"), lit(true).as("valid"),
+      lit(null).cast("string").as("reason"))
+
+  /** Map a native checksum-expression code (ChecksumKernels) to a step:
+    * the checksum runs inside whole-stage codegen, only the tiny CASE
+    * stays as a struct expression.
+    */
+  private def stepFromCode(code: Column, failReason: String): Column =
+    when(code === graft.functions.ChecksumKernels.Abort, stepStruct("A", failReason))
+      .when(code === graft.functions.ChecksumKernels.Valid, stepPass)
+      .otherwise(stepStruct("C", failReason))
 
   /** Full relational decision frame: (conv_id, turn_idx, role, tool, ts,
     * text, decision, reason, uuid, promoted, webdata).
@@ -116,8 +117,12 @@ object RelationalValidation {
         .when(!array_contains(col("allowed"), attEntry),
           stepStruct("C", Reasons.AttNotAllowed)) // TP:206
         .when(col("at_code").isNull, stepStruct("C", Reasons.AttUnknown)) // TP:208
-        .when(col("ans.attributeCode") === "PRI_ABN", abnStep(col("ans.value"))) // V8
-        .when(col("ans.attributeCode") === "PRI_CREDITCARD", luhnStep(col("ans.value"))) // V9
+        .when(col("ans.attributeCode") === "PRI_ABN",
+          stepFromCode(graft.functions.ChecksumExpr.abn_check(col("ans.value")),
+            Reasons.AbnFail)) // V8, native codegen expression
+        .when(col("ans.attributeCode") === "PRI_CREDITCARD",
+          stepFromCode(graft.functions.ChecksumExpr.luhn_check(col("ans.value")),
+            Reasons.LuhnFail)) // V9
         .otherwise(regexStep(col("ans.value"),
           transform(col("validations"), v => v.getField("regex")))) // V10
 

@@ -44,8 +44,26 @@ object TokenCodec {
     s"$headerB64.$payload.fixture"
   }
 
-  /** Decode; None where the reference's `new GennyToken(...)` would throw. */
+  /** Per-executor decode cache: token cardinality is the USER population,
+    * not the turn count — a stream of 10^12 turns from 10^7 users decodes
+    * each JWT once per executor instead of once per row. Bounded to keep
+    * executor memory flat; misses beyond the cap just decode.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[TokenClaims]]()
+  private val CacheCap = 100000
+
   def decode(token: String): Option[TokenClaims] = {
+    if (token == null) return None
+    val hit = cache.get(token)
+    if (hit != null) return hit
+    val v = decodeUncached(token)
+    if (cache.size < CacheCap) cache.put(token, v)
+    v
+  }
+
+  /** Decode; None where the reference's `new GennyToken(...)` would throw. */
+  private def decodeUncached(token: String): Option[TokenClaims] = {
     if (token == null) return None
     val parts = token.split("\\.")
     if (parts.length != 3) return None

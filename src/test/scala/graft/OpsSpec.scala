@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextMetrics}
+
+/** Training-data pipeline operators: dedup family, similarity search,
+  * text metrics, multimodal plumbing — over the driver's documents and
+  * embeddings tables plus deterministic planted near-duplicates.
+  */
+class OpsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  /** documents + near-dup copies (doc_id+100000, every 10th word mutated)
+    * + exact-dup copies (doc_id+200000) for the first 20 docs.
+    */
+  private lazy val planted: DataFrame = {
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    val mutated = docs.filter(col("doc_id") < 20)
+      .withColumn("text",
+        concat_ws(" ", transform(ws, (w, i) => when(i % 10 === 0, lit("xmutx")).otherwise(w))))
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val exact = docs.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 200000)
+    docs.unionByName(mutated).unionByName(exact)
+  }
+
+  // ------------------------------------------------------------ text metrics
+
+  test("quality metrics: sane ranges, deterministic") {
+    import spark.implicits._
+    val q = TextMetrics.quality(docs)
+    assert(q.count() == docs.count())
+    assert(q.filter($"quality_score" < 0 || $"quality_score" > 1).count() == 0)
+    assert(q.filter($"n_words" <= 0).count() == 0)
+    val a = q.orderBy("doc_id").collect().toSeq
+    val b = TextMetrics.quality(docs).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("token counts: bpe-ish >= whitespace tokens") {
+    import spark.implicits._
+    val t = TextMetrics.tokenCounts(docs)
+    assert(t.filter($"bpe_ish_tokens" < $"ws_tokens").count() == 0)
+  }
+
+  test("lang id: picks the stopword-matching language on synthetic text") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "the cat and the dog went to the house of it"),
+      (2L, "der hund und die katze ist nicht mit einem haus"),
+      (3L, "le chat et la maison est dans les jardins pour vous"),
+      (4L, "el perro y el gato es un animal en la casa por ahora"))
+      .toDF("doc_id", "text")
+    val got = TextMetrics.langId(fx).select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es"))
+  }
+
+  test("fingerprint: equal for whitespace variants, different otherwise") {
+    import spark.implicits._
+    val fx = Seq((1L, "hello  world"), (2L, " hello world "), (3L, "hello worlds"))
+      .toDF("doc_id", "text")
+    val fp = TextMetrics.fingerprint(fx).as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  // ------------------------------------------------------------------ dedup
+
+  test("exact dedup: planted exact copies collapse to the original id") {
+    import spark.implicits._
+    val e = Dedup.exact(planted)
+    val dups = e.filter(!$"keep").select("doc_id", "keep_id").as[(Long, Long)].collect()
+    assert(dups.length == 20)
+    assert(dups.forall { case (d, k) => d == k + 200000 })
+    assert(e.filter($"keep").count() == planted.count() - 20)
+  }
+
+  test("ngram jaccard: planted near-dups found, est in (0.5, 1)") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(planted, n = 3, threshold = 0.3)
+      .filter($"doc_b" < 200000) // ignore exact copies for this check
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    val found = pairs.filter { case (a, b, _) => b == a + 100000 }
+    assert(found.length >= 15, s"found only ${found.length} of 20 planted pairs")
+    assert(found.forall(_._3 > 0.3) && found.forall(_._3 < 1.0))
+  }
+
+  test("minhash LSH: detects planted near-dups; estimate tracks true jaccard") {
+    import spark.implicits._
+    val lsh = Dedup.minhashLshPairs(planted, numHashes = 64, bands = 16, threshold = 0.3)
+      .filter($"doc_b" < 200000)
+      .select("doc_a", "doc_b", "est_jaccard").as[(Long, Long, Double)].collect()
+    val found = lsh.filter { case (a, b, _) => b == a + 100000 }
+    assert(found.length >= 15, s"LSH found only ${found.length} of 20")
+    // estimate vs exact jaccard on the same pairs
+    val exact = Dedup.ngramJaccardPairs(planted, n = 3, threshold = 0.0)
+      .filter($"doc_b" === $"doc_a" + 100000)
+      .select("doc_a", "jaccard").as[(Long, Double)].collect().toMap
+    found.foreach { case (a, _, est) =>
+      exact.get(a).foreach(j => assert(math.abs(est - j) < 0.25,
+        s"doc $a: est $est vs true $j"))
+    }
+  }
+
+  test("simhash: planted near-dups have small hamming distance") {
+    import spark.implicits._
+    val sh = Dedup.simhash(planted).as[(Long, Long)].collect().toMap
+    val dists = (0L until 20L).map { id =>
+      java.lang.Long.bitCount(sh(id) ^ sh(id + 100000))
+    }
+    val unrelated = (0L until 19L).map { id =>
+      java.lang.Long.bitCount(sh(id) ^ sh(id + 1))
+    }
+    assert(dists.sum.toDouble / dists.size < unrelated.sum.toDouble / unrelated.size,
+      s"near-dup mean ${dists.sum / 20.0} !< unrelated mean ${unrelated.sum / 19.0}")
+    // exact copies → identical simhash
+    (0L until 20L).foreach(id => assert(sh(id) == sh(id + 200000)))
+  }
+
+  test("simhashPairs finds exact copies at hamming 0") {
+    import spark.implicits._
+    val p = Dedup.simhashPairs(planted, maxHamming = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    (0L until 20L).foreach(id => assert(p.contains((id, id + 200000))))
+  }
+
+  // ------------------------------------------------------------- similarity
+
+  test("brute-force cosine top-k: k rows per query, ranks contiguous, cos in [-1,1]") {
+    import spark.implicits._
+    val tk = Similarity.bruteTopK(emb, k = 10, stride = 50)
+    val perQ = tk.groupBy("q_id").count().as[(Long, Long)].collect()
+    assert(perQ.nonEmpty && perQ.forall(_._2 == 10))
+    assert(tk.filter($"cos" > 1.0001 || $"cos" < -1.0001).count() == 0)
+    assert(tk.filter($"rank" === 1).count().toInt == perQ.length)
+  }
+
+  test("IVF ANN: recall@10 >= 0.6 vs brute force") {
+    import spark.implicits._
+    val brute = Similarity.bruteTopK(emb, k = 10, stride = 50)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+    val ivf = Similarity.ivfTopK(emb, k = 10, stride = 50, nlist = 16, nprobe = 8)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+    val recalls = brute.keys.toSeq.map { q =>
+      val b = brute(q).map(_._2).toSet
+      val i = ivf.getOrElse(q, Array.empty[(Long, Long)]).map(_._2).toSet
+      b.intersect(i).size.toDouble / b.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall $mean")
+  }
+
+  test("LSH cosine pairs: identical vectors always collide; output above threshold") {
+    import spark.implicits._
+    val dup = emb.filter($"vec_id" < 10)
+      .withColumn("vec_id", $"vec_id" + 10000)
+    val pairs = Similarity.lshCosinePairs(emb.unionByName(dup), planes = 12,
+      threshold = 0.99)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    (0L until 10L).foreach(id => assert(pairs.contains((id, id + 10000)),
+      s"identical pair $id missing"))
+  }
+
+  // -------------------------------------------------------------- multimodal
+
+  test("multimodal: synthesize + extract is deterministic with fixed shape") {
+    import spark.implicits._
+    val media = Multimodal.synthesize(spark, docs)
+    val feats = Multimodal.extractFeatures(spark, media, batchSize = 32)
+    assert(feats.count() == docs.count())
+    val rows = feats.collect()
+    assert(rows.forall(_.features.length == Multimodal.FeatureDim))
+    val again = Multimodal.extractFeatures(spark, Multimodal.synthesize(spark, docs))
+      .collect().map(f => f.doc_id -> (f.checksum, f.features.toSeq)).toMap
+    rows.foreach(f => assert(again(f.doc_id) == (f.checksum, f.features.toSeq)))
+    // media types split as designed
+    assert(media.filter(_.media_type == "audio").count() == docs.filter(col("doc_id") % 3 === 0).count())
+  }
+}
