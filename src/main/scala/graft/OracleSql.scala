@@ -235,6 +235,39 @@ FROM src u JOIN src t
  AND t.turn_idx > u.turn_idx
 ORDER BY conv_id, u_turn_idx, t_turn_idx"""
 
+  /** Salted two-phase agg must equal the naive GROUP BY — same answer,
+    * different exchange shape.
+    */
+  def convStats(txDir: String): String = s"""
+SELECT conv_id,
+  count(*) AS n_turns,
+  sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+  min(ts) AS ts_first, max(ts) AS ts_last
+FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
+GROUP BY conv_id ORDER BY conv_id"""
+
+  def rollupStats(txDir: String): String = s"""
+SELECT role, text IS NOT NULL AS has_text, count(*) AS n
+FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
+GROUP BY ROLLUP(role, has_text)
+ORDER BY role NULLS FIRST, has_text NULLS FIRST, n"""
+
+  def topkConvs(txDir: String, k: Int): String = s"""
+WITH c AS (
+  SELECT conv_id, count(*) AS n_turns
+  FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
+  GROUP BY conv_id
+)
+SELECT conv_id, n_turns, rank FROM (
+  SELECT *, rank() OVER (ORDER BY n_turns DESC, conv_id ASC) AS rank FROM c
+) WHERE rank <= $k
+ORDER BY rank, conv_id"""
+
+  def cardinality(txDir: String): String = s"""
+SELECT role, count(*) AS n, count(DISTINCT conv_id) AS n_convs
+FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
+GROUP BY role ORDER BY role"""
+
   // --------------------------------------------------------------------
   // Training-data pipeline ops over the driver's documents/embeddings
   // tables (referenced by bare table name — the driver registers them).

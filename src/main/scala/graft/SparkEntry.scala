@@ -50,6 +50,19 @@ object SparkEntry {
     "turn_join" -> ((s, dir) =>
       graft.streaming.TurnJoin.userToolPairs(tx(s, dir), horizon = "3 minutes")
         .orderBy("conv_id", "u_turn_idx", "t_turn_idx")),
+    "conv_stats_salted" -> ((s, dir) =>
+      graft.ops.Aggregates.convStatsSalted(tx(s, dir)).orderBy("conv_id")),
+    "rollup_stats" -> ((s, dir) =>
+      graft.ops.Aggregates.rollupStats(tx(s, dir))
+        .orderBy(asc_nulls_first("role"), asc_nulls_first("has_text"), col("n"))),
+    "topk_convs" -> ((s, dir) =>
+      graft.ops.Aggregates.topConversations(tx(s, dir), k = 10)
+        .orderBy("rank", "conv_id")),
+    "cardinality" -> ((s, dir) =>
+      graft.ops.Aggregates.cardinality(tx(s, dir))
+        .drop("n_convs_approx").orderBy("role")),
+    "cardinality_approx" -> ((s, dir) => // rows-only: HLL estimate
+      graft.ops.Aggregates.cardinality(tx(s, dir)).orderBy("role")),
     // ----- training-data pipeline ops (documents / embeddings tables) -----
     "dedup_exact" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -122,6 +135,10 @@ object SparkEntry {
     "dedup_turns" -> OracleSql.dedup(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "sessionize" -> OracleSql.sessionize(TranscriptGen.fixtureDir("/root/testdata/sf0.01"), 2),
     "turn_join" -> OracleSql.turnJoin(TranscriptGen.fixtureDir("/root/testdata/sf0.01"), 3),
+    "conv_stats_salted" -> OracleSql.convStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
+    "rollup_stats" -> OracleSql.rollupStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
+    "topk_convs" -> OracleSql.topkConvs(TranscriptGen.fixtureDir("/root/testdata/sf0.01"), 10),
+    "cardinality" -> OracleSql.cardinality(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "dedup_exact" -> OracleSql.dedupExact,
     "ngram_jaccard" -> OracleSql.ngramJaccard,
     "text_quality" -> OracleSql.textQuality,

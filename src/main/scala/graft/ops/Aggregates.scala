@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators the reference lacks entirely (SURVEY.md §2.4):
+  * salted two-phase aggregation for skewed keys, rollup lineage stats,
+  * and a window-function top-k skew report. Each is oracle-checkable —
+  * salting in particular must produce IDENTICAL results to the naive
+  * groupBy, only with a different exchange shape.
+  */
+object Aggregates {
+
+  /** Per-conversation stats via SALTED two-phase aggregation: a hot
+    * conv_id would bottleneck a single reducer, so phase 1 pre-aggregates
+    * on (conv_id, salt = pmod(hash(turn_idx), saltBuckets)) — spreading
+    * the hot key over `saltBuckets` reducers with map-side combine — and
+    * phase 2 merges the partials per conv_id, now at most `saltBuckets`
+    * rows per key. Only commutative/associative aggregates may be salted
+    * this way; keyed STATE must never be (SURVEY.md §7.5).
+    */
+  def convStatsSalted(turns: DataFrame, saltBuckets: Int = 16): DataFrame =
+    turns
+      .withColumn("salt", pmod(hash(col("turn_idx")), lit(saltBuckets)))
+      .groupBy(col("conv_id"), col("salt"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+        min("ts").as("ts_min"), max("ts").as("ts_max"))
+      .groupBy(col("conv_id"))
+      .agg(
+        sum("n").as("n_turns"),
+        sum("n_user").as("n_user"),
+        min("ts_min").as("ts_first"),
+        max("ts_max").as("ts_last"))
+
+  /** Same result, naive single-phase groupBy (the skew-prone shape). */
+  def convStatsNaive(turns: DataFrame): DataFrame =
+    turns.groupBy(col("conv_id")).agg(
+      count(lit(1)).as("n_turns"),
+      sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+      min("ts").as("ts_first"), max("ts").as("ts_last"))
+
+  /** ROLLUP lineage stats over (role, malformed-or-not). */
+  def rollupStats(turns: DataFrame): DataFrame =
+    turns
+      .withColumn("has_text", col("text").isNotNull)
+      .rollup(col("role"), col("has_text"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Top-k largest conversations by turn count (rank window) — the skew
+    * report used to spot hot keys before they hit the stateful layer.
+    */
+  def topConversations(turns: DataFrame, k: Int = 10): DataFrame = {
+    val counts = turns.groupBy("conv_id").agg(count(lit(1)).as("n_turns"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_turns").desc, col("conv_id").asc)
+    counts.withColumn("rank", rank().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Cardinality metrics: exact + approximate distinct conversations per
+    * role (HLL-based approx_count_distinct; the approx column is excluded
+    * from the DuckDB oracle, which checks the exact ones).
+    */
+  def cardinality(turns: DataFrame): DataFrame =
+    turns.groupBy("role").agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("conv_id")).as("n_convs"),
+      approx_count_distinct(col("conv_id")).as("n_convs_approx"))
+}

@@ -45,8 +45,23 @@ object ValidationPipeline {
     import spark.implicits._
     val bcat = spark.sparkContext.broadcast(cat)
     parsed(transcripts)
+      // T1/T7 peek analogues (TP:132,136): lineage counters as observed
+      // metrics (CollectMetrics) instead of per-row logging — free at scale,
+      // surfaced per micro-batch through StreamingQueryProgress and per
+      // action through QueryExecution.observedMetrics.
+      .observe("graft_in",
+        count(lit(1)).as("rows_in"),
+        // PERMISSIVE from_json yields a null-FIELDED struct for corrupt
+        // JSON (not a null struct), so test the gate keys
+        sum(when(col("msg").isNull || col("msg.msg_type").isNull
+          || col("msg.data_type").isNull, 1L).otherwise(0L)).as("malformed_envelope"))
       .as[ParsedTurn]
       .map(t => Evaluator.evalTurn(t, bcat.value, enableBlacklist))
+      .observe("graft_out",
+        count(lit(1)).as("rows_out"),
+        sum(when(col("decision") === "valid", 1L).otherwise(0L)).as("valid"),
+        sum(when(col("decision") === "rejected", 1L).otherwise(0L)).as("rejected"),
+        sum(when(col("promoted"), 1L).otherwise(0L)).as("promoted"))
   }
 
   /** The three routed outputs of one decision frame (topics `valid_data`,

@@ -58,6 +58,42 @@ class StreamingSpec extends SparkSpec {
     def toMap2: Map[(String, Int), String] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
 
+  test("full stream job with dedup: duplicates collapse, late rows dropped and counted, webdata emitted") {
+    import spark.implicits._
+    val in = tmp("in_dd"); val out = tmp("out_dd"); val ck = tmp("ck_dd")
+    val metricsPath = s"${tmp("m")}/metrics.jsonl"
+    val listener = new StreamValidate.MetricsListener(metricsPath)
+    spark.streams.addListener(listener)
+    try {
+      def user(i: Int, sec: Long, scenario: String) = {
+        val text = TranscriptGen.userText(scenario, 1, 42L)
+        Turn("CDD", i, "user", text, null, ts(sec))
+      }
+      // file 1: three turns + an exact duplicate of turn 0; one webdata turn
+      Seq(user(0, 0, "valid_email"), user(1, 10, "webdata"),
+        user(0, 12, "valid_email"), user(2, 20, "regex_fail"))
+        .toDS().coalesce(1).write.mode("append").parquet(in)
+      val cfg = StreamValidate.Config(in, out, ck, withDedup = true,
+        watermark = "10 minutes", maxFilesPerTrigger = 1)
+      val q = StreamValidate.start(spark, cfg, TranscriptGen.catalog)
+      q.processAllAvailable() // batch 1 establishes the watermark
+      // file 2 arrives later: fresh turn + a 2h-late turn (< watermark)
+      Seq(user(3, 30, "valid_email"), user(9, -7200, "valid_email"))
+        .toDS().coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable(); q.stop()
+
+      val sink = new ExactlyOnceSink(out)
+      val got = sink.read(spark, "valid").select("conv_id", "turn_idx")
+        .unionByName(sink.read(spark, "rejected").select("conv_id", "turn_idx"))
+        .as[(String, Int)].collect().toSeq.sorted
+      // duplicate of turn 0 collapsed; late turn 9 dropped by watermark
+      assert(got == Seq(("CDD", 0), ("CDD", 1), ("CDD", 2), ("CDD", 3)), got)
+      assert(sink.read(spark, "webdata").count() == 1)
+      val metricsTxt = new String(Files.readAllBytes(java.nio.file.Paths.get(metricsPath)))
+      assert(metricsTxt.contains("\"dropped_late\":1"), metricsTxt)
+    } finally spark.streams.removeListener(listener)
+  }
+
   // -------------------------------------------------------- checkpoint resume
 
   test("checkpoint stop/restart resumes without duplicate or lost rows") {
