@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.fixtures.TranscriptGen
+import graft.validate.ValidationPipeline
+
+/** Plan audits: the shapes that matter at 100 TB, pinned as assertions so
+  * a regression in pushdown / pruning / join strategy / shuffle count
+  * fails CI instead of shipping a slow plan.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("fused validation pipeline is shuffle-free (zero Exchange)") {
+    val p = TranscriptGen.ensure(spark, "/root/testdata/sf0.001")
+    val d = ValidationPipeline.decide(spark,
+      TranscriptGen.readTranscripts(spark, p), TranscriptGen.catalog).toDF()
+    val s = plan(d)
+    assert(!s.contains("Exchange"), s"unexpected shuffle:\n${s.take(1500)}")
+  }
+
+  test("column pruning: quality metrics scan reads only doc_id + text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val s = plan(graft.ops.TextMetrics.quality(docs))
+    val readSchema = "ReadSchema: struct<doc_id:bigint,text:string>"
+    assert(s.contains(readSchema), s.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString("\n"))
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = docs.filter(col("lang") === "en").select("doc_id")
+    val s = plan(q)
+    assert(s.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("brute-force top-k broadcasts the query side, scans candidates once") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val s = plan(graft.ops.Similarity.bruteTopK(emb, k = 5, stride = 100))
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"), s.take(1200))
+  }
+
+  test("salted agg plan has two aggregate rounds (partial spread + merge)") {
+    val p = TranscriptGen.ensure(spark, "/root/testdata/sf0.001")
+    val s = plan(graft.ops.Aggregates.convStatsSalted(
+      TranscriptGen.readTranscripts(spark, p)))
+    val aggCount = "HashAggregate".r.findAllIn(s).length
+    assert(aggCount >= 4, s"expected 2 partial+final pairs, plan:\n${s.take(1200)}")
+  }
+
+  test("dimension joins in the relational variant never fall back to SMJ") {
+    val p = TranscriptGen.ensure(spark, "/root/testdata/sf0.001")
+    val (ent, defA, attr) = TranscriptGen.readCatalogFrames(spark, p)
+    val s = plan(graft.validate.RelationalValidation.decide(spark,
+      TranscriptGen.readTranscripts(spark, p), ent, defA, attr))
+    assert("BroadcastHashJoin".r.findAllIn(s).length >= 4, s.take(1500))
+    assert(!s.contains("SortMergeJoin"))
+  }
+
+  test("whole-stage codegen covers the stateless column stages") {
+    val p = TranscriptGen.ensure(spark, "/root/testdata/sf0.001")
+    val parsed = ValidationPipeline.parsed(TranscriptGen.readTranscripts(spark, p))
+    assert(plan(parsed).contains("*(1)"), plan(parsed).take(800))
+  }
+}
