@@ -81,7 +81,7 @@ astep AS (
   SELECT a.conv_id, a.turn_idx, a.pos,
     a.items[a.pos] AS ans,
     a.user_code,
-    se.code AS se_code, te.code AS te_code,
+    se.code AS se_code, te.code AS te_code, te.name AS te_name,
     de.target_code AS de_code, de.allowed,
     at.attribute_code AS at_code, at.validations
   FROM answers a
@@ -234,6 +234,43 @@ FROM src u JOIN src t
  AND t.ts >= u.ts AND t.ts <= u.ts + INTERVAL $horizonMinutes MINUTE
  AND t.turn_idx > u.turn_idx
 ORDER BY conv_id, u_turn_idx, t_turn_idx"""
+
+  /** Webdata side-output rows (S4, TP:212-227): emitted at the
+    * reached-attribute point for LNK_PERSON x BKT_APPLICATIONS x "[]",
+    * suppressed for answers after an earlier-answer abort (quirk Q9/Q2).
+    * Replays the decisions CTE chain up to the per-answer stage.
+    */
+  def webdata(txDir: String): String = {
+    val base = decisions(txDir)
+    // reuse everything up to `stepped`, then select the emit rows
+    val upToStepped = base.substring(0, base.indexOf("\nfold AS ("))
+    s"""$upToStepped
+fold AS (
+  SELECT conv_id, turn_idx,
+    min(pos) FILTER (WHERE step.kind = 'A') AS abort_pos
+  FROM stepped GROUP BY conv_id, turn_idx
+),
+reach AS (
+  SELECT a.conv_id, a.turn_idx, a.pos, a.ans, a.te_name, m.token
+  FROM astep a
+  JOIN msgs m USING (conv_id, turn_idx)
+  WHERE a.ans.sourceCode IS NOT NULL AND a.user_code = a.ans.sourceCode
+    AND a.se_code IS NOT NULL AND a.te_code IS NOT NULL
+    AND a.de_code IS NOT NULL
+    AND list_contains(a.allowed, 'ATT_' || coalesce(a.ans.attributeCode, 'null'))
+    AND a.at_code IS NOT NULL
+    AND a.ans.attributeCode = 'LNK_PERSON'
+    AND a.ans.targetCode = 'BKT_APPLICATIONS'
+    AND a.ans.value = '[]'
+)
+SELECT r.conv_id, r.turn_idx,
+  '{"data_type":"BaseEntity","items":[{"code":"' || r.ans.targetCode ||
+  '","name":"' || r.te_name || '","LNK_PERSON":"[]"}],"total":1,"returnCount":1,"token":"'
+  || r.token || '"}' AS payload
+FROM reach r LEFT JOIN fold f ON r.conv_id = f.conv_id AND r.turn_idx = f.turn_idx
+WHERE f.abort_pos IS NULL OR r.pos <= f.abort_pos
+ORDER BY r.conv_id, r.turn_idx, payload"""
+  }
 
   /** Salted two-phase agg must equal the naive GROUP BY — same answer,
     * different exchange shape.

@@ -50,6 +50,10 @@ object SparkEntry {
     "turn_join" -> ((s, dir) =>
       graft.streaming.TurnJoin.userToolPairs(tx(s, dir), horizon = "3 minutes")
         .orderBy("conv_id", "u_turn_idx", "t_turn_idx")),
+    "webdata_rows" -> ((s, dir) => {
+      val dec = ValidationPipeline.decide(s, tx(s, dir), TranscriptGen.catalog).toDF()
+      ValidationPipeline.routes(dec)._3.orderBy("conv_id", "turn_idx", "payload")
+    }),
     "conv_stats_salted" -> ((s, dir) =>
       graft.ops.Aggregates.convStatsSalted(tx(s, dir)).orderBy("conv_id")),
     "rollup_stats" -> ((s, dir) =>
@@ -135,6 +139,7 @@ object SparkEntry {
     "dedup_turns" -> OracleSql.dedup(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "sessionize" -> OracleSql.sessionize(TranscriptGen.fixtureDir("/root/testdata/sf0.01"), 2),
     "turn_join" -> OracleSql.turnJoin(TranscriptGen.fixtureDir("/root/testdata/sf0.01"), 3),
+    "webdata_rows" -> OracleSql.webdata(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "conv_stats_salted" -> OracleSql.convStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "rollup_stats" -> OracleSql.rollupStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "topk_convs" -> OracleSql.topkConvs(TranscriptGen.fixtureDir("/root/testdata/sf0.01"), 10),

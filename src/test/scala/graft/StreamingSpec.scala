@@ -166,6 +166,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count(_._3) == 1 && rows.find(_._3).get._2 == 2)
   }
 
+  test("stateful dedup runs on the RocksDB state store provider") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Turn]
+      val q = DedupState.dedup(spark, mem.toDS(), "1 minute", "5 minutes")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("dedup_rocks").start()
+      def t(c: String, i: Int, sec: Long) = Turn(c, i, "user", s"m$i", null, ts(sec))
+      mem.addData(t("R1", 0, 0), t("R1", 0, 5), t("R1", 1, 10))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("dedup_rocks").select("turn_idx").as[Int].collect().sorted
+      assert(rows.toSeq == Seq(0, 1))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("sink metrics table: per-partition lineage rows committed with the batch") {
+    import spark.implicits._
+    val out = tmp("out_m")
+    val sink = new ExactlyOnceSink(out)
+    val dec = ValidationPipeline.decide(spark,
+      TranscriptGen.turnsDs(spark, 8, 10, 0).toDF(), TranscriptGen.catalog).toDF()
+    sink.writeBatch(dec, 3L)
+    val m = sink.read(spark, "metrics")
+    val (v, r) = (m.agg(sum("rows_validated")).head().getLong(0),
+      m.agg(sum("rows_rejected")).head().getLong(0))
+    assert(v == dec.filter(col("decision") === "valid").count())
+    assert(r == dec.filter(col("decision") === "rejected").count())
+    assert(m.select("partition_id").distinct().count() >= 1)
+  }
+
   test("batch dedup keeps exactly one row per (conv_id, turn_idx)") {
     import spark.implicits._
     val turns = TranscriptGen.turnsDs(spark, 10, 10, 0)
