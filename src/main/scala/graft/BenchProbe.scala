@@ -46,6 +46,11 @@ object BenchProbe {
         .decide(spark, turns, graft.fixtures.TranscriptGen.catalog).toDF()
       d.select(sum(xxhash64(col("decision"), col("reason")) % 1000L)).head()
     }
+    time("full_decide_fast") {
+      val d = graft.validate.ValidationPipeline
+        .decideFast(spark, turns, graft.fixtures.TranscriptGen.catalog).toDF()
+      d.select(sum(xxhash64(col("decision"), col("reason")) % 1000L)).head()
+    }
     spark.stop()
   }
 }

@@ -64,6 +64,28 @@ object ValidationPipeline {
         sum(when(col("promoted"), 1L).otherwise(0L)).as("promoted"))
   }
 
+  /** Fast fused variant: tidy stays a Catalyst expression, but parse +
+    * evaluate happen in ONE typed map (Jackson directly to the evaluator's
+    * case classes), skipping the from_json struct materialization and the
+    * encoder deserialization between stages. Same decisions as [[decide]]
+    * (corpus agreement test); ~1 allocation pass less per row on the hot
+    * path. Prefer [[decide]] when the parsed struct is needed as a column.
+    */
+  def decideFast(spark: SparkSession, transcripts: DataFrame, cat: Catalog,
+      enableBlacklist: Boolean = true): Dataset[TurnDecision] = {
+    import spark.implicits._
+    val bcat = spark.sparkContext.broadcast(cat)
+    transcripts
+      .filter(col("text").isNotNull)
+      .as[Turn]
+      .map { t =>
+        val tidied = JsonParse.tidy(t.text) // T3, literal-replace fast path
+        val pt = ParsedTurn(t.conv_id, t.turn_idx, t.role, tidied, t.tool, t.ts,
+          JsonParse.parseEnvelope(tidied))
+        Evaluator.evalTurn(pt, bcat.value, enableBlacklist)
+      }
+  }
+
   /** The three routed outputs of one decision frame (topics `valid_data`,
     * `blacklists`, `webdata` — TP:137, TP:286, TP:223).
     */

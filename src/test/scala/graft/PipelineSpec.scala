@@ -75,6 +75,18 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.exists(_.webdata.nonEmpty))
   }
 
+  test("decideFast (one-pass Jackson) agrees with decide (from_json) on the corpus") {
+    import spark.implicits._
+    val turns = TranscriptGen.turnsDs(spark, 50, 10, 25).toDF()
+    def canon(d: org.apache.spark.sql.Dataset[graft.model.TurnDecision]) =
+      d.collect().map(x => (x.conv_id, x.turn_idx) ->
+        (x.decision, x.reason, x.uuid, x.text, x.webdata)).toMap
+    val a = canon(ValidationPipeline.decide(spark, turns, TranscriptGen.catalog))
+    val b = canon(ValidationPipeline.decideFast(spark, turns, TranscriptGen.catalog))
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(b(k) == v, s"mismatch @ $k") }
+  }
+
   test("blacklist-off run promotes every rejection (Q5) and routes nothing to blacklist") {
     import spark.implicits._
     val turns = TranscriptGen.turnsDs(spark, 20, 10, 0).toDF()
