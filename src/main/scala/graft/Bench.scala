@@ -116,6 +116,30 @@ object Bench {
       System.err.println(f"[bench] query: $name done")
       name -> sec
     }
+    // ---- phase 3: streaming end-to-end (source → validate → exactly-once
+    // 3-way sink) turns/sec over the same corpus, stateless path ----------
+    val streamTps = try {
+      val outDir = java.nio.file.Files.createTempDirectory("graft_bench_sink").toString
+      val ckDir = java.nio.file.Files.createTempDirectory("graft_bench_ck").toString
+      val cfg = graft.streaming.StreamValidate.Config(
+        s"$benchDir/transcripts.parquet", outDir, ckDir,
+        withDedup = false, maxFilesPerTrigger = 16)
+      val rows = spark.read.parquet(s"$benchDir/transcripts.parquet").count()
+      System.err.println(s"[bench] streaming e2e over $rows rows...")
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamValidate.start(spark, cfg, TranscriptGen.catalog)
+      q.processAllAvailable(); q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // clean the multi-GB sink output
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(outDir)).deleteRecursively()
+      new Directory(new java.io.File(ckDir)).deleteRecursively()
+      System.err.println(s"[bench] streaming e2e: $sec s (${rows / sec} turns/s)")
+      rows / sec
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming e2e FAILED: $e"); -1.0
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val scalingJson = scaling.map { case (c, rows, tps, sec, fastTps) =>
@@ -123,7 +147,7 @@ object Bench {
     }.mkString("{", ",", s""","efficiency":$eff}""")
     val valueTps = math.max(tpsHigh, fastTpsByC(cpus))
     println(
-      s"""{"metric":"validated_turns_per_sec","value":$valueTps,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total,"scaling":$scalingJson,"headline_cpus":$cpus}""")
+      s"""{"metric":"validated_turns_per_sec","value":$valueTps,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total,"scaling":$scalingJson,"streaming_turns_per_sec":$streamTps,"headline_cpus":$cpus}""")
     spark.stop()
   }
 }

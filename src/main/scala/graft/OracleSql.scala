@@ -300,6 +300,32 @@ SELECT conv_id, n_turns, rank FROM (
 ) WHERE rank <= $k
 ORDER BY rank, conv_id"""
 
+  /** Tumbling windows: DuckDB time_bucket and Spark window() both align
+    * buckets to day-divisor boundaries, so 5-minute edges coincide.
+    */
+  def tumbling(txDir: String): String = s"""
+WITH t AS (SELECT * FROM read_parquet('$txDir/transcripts.parquet/*.parquet')),
+s AS (SELECT role, ts, time_bucket(INTERVAL '5 minutes', ts) AS w FROM t)
+SELECT w AS window_start, w + INTERVAL 5 MINUTE AS window_end, role,
+  count(*) AS n_turns
+FROM s GROUP BY 1, 2, 3
+ORDER BY window_start, role"""
+
+  /** Sliding windows (10 min / 5 min): each event expands to size/slide
+    * overlapping epoch-aligned windows via the generate_series offsets.
+    */
+  def sliding(txDir: String): String = s"""
+WITH t AS (SELECT * FROM read_parquet('$txDir/transcripts.parquet/*.parquet')),
+s AS (SELECT role, ts,
+  time_bucket(INTERVAL '5 minutes', ts)
+    - unnest(generate_series(0, 1)) * INTERVAL 5 MINUTE AS w
+FROM t)
+SELECT w AS window_start, w + INTERVAL 10 MINUTE AS window_end,
+  count(*) AS n_turns,
+  sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user
+FROM s GROUP BY 1, 2
+ORDER BY window_start"""
+
   def cardinality(txDir: String): String = s"""
 SELECT role, count(*) AS n, count(DISTINCT conv_id) AS n_convs
 FROM read_parquet('$txDir/transcripts.parquet/*.parquet')

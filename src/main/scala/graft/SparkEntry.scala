@@ -62,6 +62,13 @@ object SparkEntry {
     "topk_convs" -> ((s, dir) =>
       graft.ops.Aggregates.topConversations(tx(s, dir), k = 10)
         .orderBy("rank", "conv_id")),
+    "window_tumbling" -> ((s, dir) =>
+      graft.streaming.TimeWindows.tumbling(tx(s, dir), size = "5 minutes")
+        .drop("n_convs_approx") // HLL estimate excluded from the oracle
+        .orderBy("window_start", "role")),
+    "window_sliding" -> ((s, dir) =>
+      graft.streaming.TimeWindows.sliding(tx(s, dir), size = "10 minutes",
+        slide = "5 minutes").orderBy("window_start")),
     "cardinality" -> ((s, dir) =>
       graft.ops.Aggregates.cardinality(tx(s, dir))
         .drop("n_convs_approx").orderBy("role")),
@@ -144,6 +151,8 @@ object SparkEntry {
     "rollup_stats" -> OracleSql.rollupStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "topk_convs" -> OracleSql.topkConvs(TranscriptGen.fixtureDir("/root/testdata/sf0.01"), 10),
     "cardinality" -> OracleSql.cardinality(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
+    "window_tumbling" -> OracleSql.tumbling(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
+    "window_sliding" -> OracleSql.sliding(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "dedup_exact" -> OracleSql.dedupExact,
     "ngram_jaccard" -> OracleSql.ngramJaccard,
     "text_quality" -> OracleSql.textQuality,

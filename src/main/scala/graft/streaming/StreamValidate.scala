@@ -47,7 +47,9 @@ object StreamValidate {
       if (!cfg.withDedup) raw
       else DedupState.dedup(spark, raw.as[graft.model.Turn], cfg.watermark)
         .drop("out_of_order")
-    ValidationPipeline.decide(spark, turns.toDF(), cat, cfg.enableBlacklist).toDF()
+    // decideFast: one-pass parse+evaluate (agreement-tested with decide);
+    // lineage counters surface through its graft_out observed metrics
+    ValidationPipeline.decideFast(spark, turns.toDF(), cat, cfg.enableBlacklist).toDF()
   }
 
   /** Start the query; returns the running handle. */

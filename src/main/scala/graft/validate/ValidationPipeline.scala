@@ -84,6 +84,11 @@ object ValidationPipeline {
           JsonParse.parseEnvelope(tidied))
         Evaluator.evalTurn(pt, bcat.value, enableBlacklist)
       }
+      .observe("graft_out",
+        count(lit(1)).as("rows_out"),
+        sum(when(col("decision") === "valid", 1L).otherwise(0L)).as("valid"),
+        sum(when(col("decision") === "rejected", 1L).otherwise(0L)).as("rejected"),
+        sum(when(col("promoted"), 1L).otherwise(0L)).as("promoted"))
   }
 
   /** The three routed outputs of one decision frame (topics `valid_data`,

@@ -246,6 +246,24 @@ class StreamingSpec extends SparkSpec {
     assert(s.filter($"session_end" < $"session_start").count() == 0)
   }
 
+  test("tumbling windows close under watermark and emit once (streaming)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val win = graft.streaming.TimeWindows.tumbling(mem.toDS().toDF(),
+      size = "1 minute", watermark = Some("30 seconds"))
+    val q = win.writeStream.outputMode("append")
+      .format("memory").queryName("win_out").start()
+    def t(c: String, i: Int, sec: Long) = Turn(c, i, "user", "x", null, ts(sec))
+    mem.addData(t("W1", 0, 0), t("W1", 1, 10), t("W1", 2, 70))
+    q.processAllAvailable()
+    mem.addData(t("W1", 3, 1000)) // advances watermark past both windows
+    q.processAllAvailable()
+    val rows = spark.table("win_out").select("n_turns").as[Long].collect().sorted
+    q.stop()
+    assert(rows.toSeq == Seq(1, 2), s"got ${rows.toSeq}") // [0,1min)=2, [1,2min)=1
+  }
+
   // ------------------------------------------------------- stream-stream join
 
   test("user⋈tool interval join pairs tool turns within the horizon") {
