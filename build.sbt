@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through RAW (no "[info] " logger prefix):
+// the bench driver parses the final stdout line as JSON, and round 1's
+// BENCH_r01.json recorded "parsed": null because every line arrived
+// logger-prefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No trailing "[success] Total time: …" after the run: the bench JSON must
+// be the FINAL stdout line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

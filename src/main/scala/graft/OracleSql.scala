@@ -212,8 +212,8 @@ SELECT conv_id,
   min(ts) AS session_start,
   max(ts) + INTERVAL $gapMinutes MINUTE AS session_end,
   count(*) AS n_turns,
-  sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
-  sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool,
+  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+  CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
   min(ts) AS ts_first,
   max(ts) AS ts_last
 FROM isl
@@ -278,7 +278,7 @@ ORDER BY r.conv_id, r.turn_idx, payload"""
   def convStats(txDir: String): String = s"""
 SELECT conv_id,
   count(*) AS n_turns,
-  sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
   min(ts) AS ts_first, max(ts) AS ts_last
 FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
 GROUP BY conv_id ORDER BY conv_id"""
@@ -322,7 +322,7 @@ s AS (SELECT role, ts,
 FROM t)
 SELECT w AS window_start, w + INTERVAL 10 MINUTE AS window_end,
   count(*) AS n_turns,
-  sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user
+  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user
 FROM s GROUP BY 1, 2
 ORDER BY window_start"""
 

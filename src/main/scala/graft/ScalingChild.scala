@@ -9,15 +9,19 @@ import graft.validate.ValidationPipeline
   * GC threading, JIT state and heap shape are sized for that level
   * (in-process back-to-back sessions let the 8-core phase borrow 32-core
   * GC threads, skewing the ratio). Spawned by [[Bench]]; prints one line:
-  * `GRAFT_SCALING <cpus> <rows> <decideMinSec> <fastMinSec>`.
+  * `GRAFT_SCALING <cpus> <rows> dec=<s1,s2,…> fast=<f1,…>`
+  * (every sample, seconds — the parent computes min/median and pairs
+  * time-adjacent children so a host CPU-steal spike is visible in the
+  * record instead of silently poisoning the ratio).
   *
-  * args: cpus corpusPath samples
+  * args: cpus corpusPath decSamples fastSamples
   */
 object ScalingChild {
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt
     val corpus = args(1)
-    val samples = args(2).toInt
+    val decSamples = args(2).toInt
+    val fastSamples = args(3).toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
@@ -37,11 +41,11 @@ object ScalingChild {
     def timeIt(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    run() // warmup
-    val dec = Seq.fill(samples)(timeIt(run())).min
+    run() // warmup (JIT + page cache)
+    val dec = Seq.fill(decSamples)(timeIt(run()))
     runFast()
-    val fast = Seq.fill(samples)(timeIt(runFast())).min
-    println(s"GRAFT_SCALING $cpus $rows $dec $fast")
+    val fast = Seq.fill(fastSamples)(timeIt(runFast()))
+    println(s"GRAFT_SCALING $cpus $rows dec=${dec.mkString(",")} fast=${fast.mkString(",")}")
     spark.stop()
   }
 }

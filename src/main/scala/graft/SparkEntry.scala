@@ -121,7 +121,13 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) => { // rows-only: stubbed decoder
       val docs = s.read.parquet(s"$dir/documents.parquet")
       graft.ops.Multimodal.extractFeatures(s,
-        graft.ops.Multimodal.synthesize(s, docs)).toDF().orderBy("doc_id")
+        graft.ops.Multimodal.synthesize(s, docs)).toDF()
+        // the raw array<float> crashes the driver's pandas sort; emit a
+        // deterministic scalar digest of the vector instead
+        .withColumn("feat_digest", xxhash64(concat_ws(",",
+          transform(col("features"), f => format_string("%.4f", f.cast("double"))))))
+        .drop("features")
+        .orderBy("doc_id")
     }),
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")

@@ -19,10 +19,13 @@ object ChecksumKernels {
   private val abnWeights = Array(10, 1, 3, 5, 7, 9, 11, 13, 15, 17, 19)
 
   /** Luhn (TP:325-340) without exceptions: non-digit → Abort (parseInt
-    * would throw), empty string → Valid (quirk Q7).
+    * would throw), empty string → Valid (quirk Q7), null → Abort (the
+    * reference NPEs at .length()).
     */
-  def luhnCode(s: UTF8String): Int = {
-    val str = s.toString
+  def luhnCode(s: UTF8String): Int = luhnCode(s.toString)
+
+  def luhnCode(str: String): Int = {
+    if (str == null) return Abort
     var sum = 0
     var alternate = false
     var i = str.length - 1
@@ -45,8 +48,10 @@ object ChecksumKernels {
     * "+1"-style parseable chunks are excluded by fixture contract —
     * documented in OracleSql.)
     */
-  def abnCode(s: UTF8String): Int = {
-    val str = s.toString
+  def abnCode(s: UTF8String): Int = abnCode(s.toString)
+
+  def abnCode(str: String): Int = {
+    if (str == null) return Abort // reference NPEs at .matches()
     val n = str.length
     var allDigits = n > 0
     var i = 0

@@ -76,11 +76,21 @@ object Evaluator {
         Some(webdataPayload(targetBe.get, claims))
       else None
 
+    // Checksums run through the allocation-free, branch-only kernels
+    // (ChecksumKernels) — no per-char substring, no thrown/caught exception
+    // per row. Validators keeps the literal reference port; a parity spec
+    // asserts kernel == port on every input class.
+    import graft.functions.ChecksumKernels
+    def codeToStep(code: Int, failReason: String): Step = code match {
+      case ChecksumKernels.Abort => Abort(failReason)
+      case ChecksumKernels.Valid => Continue(valid = true, failReason)
+      case _ => Continue(valid = false, failReason)
+    }
     val step = a.attributeCode match {
       case "PRI_ABN" => // TP:228-229
-        Validators.abnOutcome(a.value).fold(Abort(_), ok => Continue(ok, AbnFail))
+        codeToStep(ChecksumKernels.abnCode(a.value), AbnFail)
       case "PRI_CREDITCARD" => // TP:230-231
-        Validators.luhnOutcome(a.value).fold(Abort(_), ok => Continue(ok, LuhnFail))
+        codeToStep(ChecksumKernels.luhnCode(a.value), LuhnFail)
       case _ => // TP:233-251 regex any-match
         Validators
           .regexAnyOutcome(a.value, attr.get.validations.map(_.regex))

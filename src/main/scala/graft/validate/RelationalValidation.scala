@@ -117,9 +117,16 @@ object RelationalValidation {
         .when(!array_contains(col("allowed"), attEntry),
           stepStruct("C", Reasons.AttNotAllowed)) // TP:206
         .when(col("at_code").isNull, stepStruct("C", Reasons.AttUnknown)) // TP:208
+        // null checksum value: the reference NPEs (abort) — the null-safe
+        // native expressions would yield a null code and fall to Continue,
+        // silently diverging from the fused/oracle abort semantics.
+        .when(col("ans.attributeCode") === "PRI_ABN" && col("ans.value").isNull,
+          stepStruct("A", Reasons.AbnFail))
         .when(col("ans.attributeCode") === "PRI_ABN",
           stepFromCode(graft.functions.ChecksumExpr.abn_check(col("ans.value")),
             Reasons.AbnFail)) // V8, native codegen expression
+        .when(col("ans.attributeCode") === "PRI_CREDITCARD" && col("ans.value").isNull,
+          stepStruct("A", Reasons.LuhnFail))
         .when(col("ans.attributeCode") === "PRI_CREDITCARD",
           stepFromCode(graft.functions.ChecksumExpr.luhn_check(col("ans.value")),
             Reasons.LuhnFail)) // V9
