@@ -354,7 +354,11 @@ SELECT doc_id, text_hash,
 FROM h
 ORDER BY doc_id"""
 
-  /** Natural 3-gram Jaccard pairs over documents at threshold 0.05. */
+  /** Natural 3-gram Jaccard pairs over documents at threshold 0.05,
+    * mirroring the engine's maxDf=1000 document-frequency prune (shared
+    * counts AND set sizes both over the pruned shingle space, so the
+    * oracle stays exact at any corpus size).
+    */
   val ngramJaccard: String = """
 WITH w AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
@@ -365,8 +369,10 @@ sh AS (
     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
   FROM w
 ),
-ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
-sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+ex0 AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+keep AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= 1000),
+ex AS (SELECT ex0.* FROM ex0 SEMI JOIN keep USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
   FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -451,6 +457,142 @@ SELECT doc_id,
       list_transform(generate_series(1, length(t)), i -> CAST(ascii(t[i]) AS BIGINT))),
     (acc, c) -> (acc * 31 + c) % ${graft.ops.TextMetrics.FpMod}) AS fingerprint
 FROM n ORDER BY doc_id"""
+
+  def cubeStats(txDir: String): String = s"""
+SELECT role, text IS NOT NULL AS has_text, count(*) AS n
+FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
+GROUP BY CUBE(role, has_text)
+ORDER BY role NULLS FIRST, has_text NULLS FIRST, n"""
+
+  /** Exact + HLL cardinality: the approx estimate is not DuckDB-
+    * reproducible, so the query emits `approx_ok` = |approx-exact| <= 10%
+    * and the oracle asserts the literal TRUE alongside the exact values.
+    */
+  def cardinalityApprox(txDir: String): String = s"""
+SELECT role, count(*) AS n, count(DISTINCT conv_id) AS n_convs,
+  true AS approx_ok
+FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
+GROUP BY role ORDER BY role"""
+
+  // ------------------------------------------------------------- joins
+
+  /** TPC-H Q3-flavored 3-table join (customer ⋈ orders ⋈ lineitem). */
+  val q3Join: String = """
+SELECT o_orderkey, o_orderdate, sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 20"""
+
+  /** left_semi: orders having at least one lineitem. */
+  val semiJoin: String = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+ORDER BY o_orderkey"""
+
+  /** left_anti: customers with no urgent-priority order. */
+  val antiJoin: String = """
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey"""
+
+  /** As-of join: each purchase event matched to the latest prior-or-equal
+    * click event of the same user (DuckDB native ASOF JOIN as the oracle
+    * for the engine's union+window merge formulation).
+    */
+  val asofJoin: String = """
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.event_id AS r_event_id, c.ts AS r_ts, c.value AS r_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id"""
+
+  // ------------------------------------- dump-referencing verify oracles
+  // ({OUT} = the Verify dump dir): the candidate SET of an LSH/ANN op is
+  // hash-dependent (xxhash64 has no DuckDB equivalent), but the METRIC on
+  // each emitted row is exactly recomputable — so the oracle reads the
+  // emitted pairs and independently re-derives every metric column.
+
+  private def cosExpr(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len($a)),
+      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x,y) -> x + y)
+    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len($a)),
+         i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))), (x,y) -> x + y))
+     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len($b)),
+         i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x,y) -> x + y)))"""
+
+  /** lsh_cosine_pairs: re-verify the exact cosine of every emitted pair. */
+  val lshCosineVerify: String = s"""
+WITH p AS (SELECT vec_a, vec_b FROM read_parquet('{OUT}/lsh_cosine_pairs/*.parquet'))
+SELECT p.vec_a, p.vec_b, ${cosExpr("a.embedding", "b.embedding")} AS cos
+FROM p
+JOIN embeddings a ON a.vec_id = p.vec_a
+JOIN embeddings b ON b.vec_id = p.vec_b
+ORDER BY vec_a, vec_b"""
+
+  /** ivf_topk: re-verify the cosine of every emitted (q,candidate) row AND
+    * that the emitted rank equals cos-desc order within the emitted set.
+    */
+  val ivfVerify: String = s"""
+WITH p AS (SELECT q_id, vec_id FROM read_parquet('{OUT}/ivf_topk/*.parquet')),
+scored AS (
+  SELECT p.q_id, p.vec_id, ${cosExpr("q.embedding", "e.embedding")} AS cos
+  FROM p
+  JOIN embeddings q ON q.vec_id = p.q_id
+  JOIN embeddings e ON e.vec_id = p.vec_id
+)
+SELECT q_id, vec_id, cos,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+FROM scored ORDER BY q_id, rank"""
+
+  private val shingleSets: String = """
+w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(ws) - 2, 0)),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w
+)"""
+
+  /** minhash_pairs: true 3-gram Jaccard of every emitted pair re-derived
+    * from the raw text (est_jaccard passes through — xxhash-dependent).
+    */
+  val minhashVerify: String = s"""
+WITH p AS (SELECT doc_a, doc_b, est_jaccard FROM read_parquet('{OUT}/minhash_pairs/*.parquet')),
+$shingleSets
+SELECT p.doc_a, p.doc_b, p.est_jaccard,
+  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+    / len(list_distinct(list_concat(a.s, b.s))) AS true_jaccard
+FROM p
+JOIN sh a ON a.doc_id = p.doc_a
+JOIN sh b ON b.doc_id = p.doc_b
+ORDER BY doc_a, doc_b"""
+
+  /** simhash_pairs: hamming passes through (hash-dependent); the true
+    * 3-gram Jaccard column is re-derived from the raw text.
+    */
+  val simhashVerify: String = s"""
+WITH p AS (SELECT doc_a, doc_b, hamming FROM read_parquet('{OUT}/simhash_pairs/*.parquet')),
+$shingleSets
+SELECT p.doc_a, p.doc_b, p.hamming,
+  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+    / len(list_distinct(list_concat(a.s, b.s))) AS true_jaccard
+FROM p
+JOIN sh a ON a.doc_id = p.doc_a
+JOIN sh b ON b.doc_id = p.doc_b
+ORDER BY doc_a, doc_b"""
 
   /** Brute-force cosine top-k (k=10, stride=50), sequential-sum doubles. */
   val cosineTopK: String = """

@@ -72,8 +72,42 @@ object SparkEntry {
     "cardinality" -> ((s, dir) =>
       graft.ops.Aggregates.cardinality(tx(s, dir))
         .drop("n_convs_approx").orderBy("role")),
-    "cardinality_approx" -> ((s, dir) => // rows-only: HLL estimate
-      graft.ops.Aggregates.cardinality(tx(s, dir)).orderBy("role")),
+    "cardinality_approx" -> ((s, dir) =>
+      // HLL estimate itself is not DuckDB-reproducible; emit the exactness
+      // CLAIM (|approx-exact| <= 10%) as a column the oracle asserts true
+      graft.ops.Aggregates.cardinality(tx(s, dir))
+        .withColumn("approx_ok",
+          abs(col("n_convs_approx") - col("n_convs")) <= col("n_convs") * 0.10)
+        .drop("n_convs_approx")
+        .orderBy("role")),
+    "cube_stats" -> ((s, dir) =>
+      graft.ops.Aggregates.cubeStats(tx(s, dir))
+        .orderBy(asc_nulls_first("role"), asc_nulls_first("has_text"), col("n"))),
+    // ----- join classes over the TPC-H-shaped tables ----------------------
+    "q3_join" -> ((s, dir) =>
+      graft.ops.Joins.topRevenueOrders(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        segment = "BUILDING", cutoff = "1998-01-01", k = 20)
+        .orderBy(desc("revenue"), asc("o_orderkey"))),
+    "semi_join" -> ((s, dir) =>
+      graft.ops.Joins.ordersWithLineitems(
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet")).orderBy("o_orderkey")),
+    "anti_join" -> ((s, dir) =>
+      graft.ops.Joins.customersWithoutUrgent(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet")).orderBy("c_custkey")),
+    "asof_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.ops.Joins.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        ev.filter(col("event_type") === "click"),
+        key = "user_id", ts = "ts", rightCols = Seq("event_id", "ts", "value"))
+        .orderBy("event_id")
+    }),
     // ----- training-data pipeline ops (documents / embeddings tables) -----
     "dedup_exact" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -86,14 +120,19 @@ object SparkEntry {
       graft.ops.Dedup.ngramJaccardPairs(
         s.read.parquet(s"$dir/documents.parquet"), n = 3, threshold = 0.05)
         .orderBy("doc_a", "doc_b")),
-    "minhash_pairs" -> ((s, dir) => // rows-only: xxhash64 not in DuckDB
-      graft.ops.Dedup.minhashLshPairs(
-        s.read.parquet(s"$dir/documents.parquet"), numHashes = 64, bands = 16,
-        threshold = 0.2).orderBy("doc_a", "doc_b")),
-    "simhash_pairs" -> ((s, dir) => // rows-only
-      graft.ops.Dedup.simhashPairs(
-        s.read.parquet(s"$dir/documents.parquet"), maxHamming = 3)
-        .orderBy("doc_a", "doc_b")),
+    "minhash_pairs" -> ((s, dir) => { // candidate set xxhash-dependent;
+      // the true_jaccard column is independently re-derived by the oracle
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Dedup.withTrueJaccard(
+        graft.ops.Dedup.minhashLshPairs(docs, numHashes = 64, bands = 16,
+          threshold = 0.2), docs).orderBy("doc_a", "doc_b")
+    }),
+    "simhash_pairs" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Dedup.withTrueJaccard(
+        graft.ops.Dedup.simhashPairs(docs, maxHamming = 3), docs)
+        .orderBy("doc_a", "doc_b")
+    }),
     "text_quality" -> ((s, dir) =>
       graft.ops.TextMetrics.quality(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")),
@@ -110,11 +149,12 @@ object SparkEntry {
       graft.ops.Similarity.bruteTopK(
         s.read.parquet(s"$dir/embeddings.parquet"), k = 10, stride = 50)
         .orderBy("q_id", "rank")),
-    "ivf_topk" -> ((s, dir) => // rows-only: approximate by construction
+    "ivf_topk" -> ((s, dir) => // candidate set approximate by construction;
+      // the oracle re-derives cos + rank for the emitted rows from {OUT}
       graft.ops.Similarity.ivfTopK(
         s.read.parquet(s"$dir/embeddings.parquet"), k = 10, stride = 50,
         nlist = 16, nprobe = 8).orderBy("q_id", "rank")),
-    "lsh_cosine_pairs" -> ((s, dir) => // rows-only
+    "lsh_cosine_pairs" -> ((s, dir) => // oracle re-derives cos from {OUT}
       graft.ops.Similarity.lshCosinePairs(
         s.read.parquet(s"$dir/embeddings.parquet"), planes = 8, threshold = 0.35)
         .orderBy("vec_a", "vec_b")),
@@ -157,6 +197,16 @@ object SparkEntry {
     "rollup_stats" -> OracleSql.rollupStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "topk_convs" -> OracleSql.topkConvs(TranscriptGen.fixtureDir("/root/testdata/sf0.01"), 10),
     "cardinality" -> OracleSql.cardinality(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
+    "cardinality_approx" -> OracleSql.cardinalityApprox(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
+    "cube_stats" -> OracleSql.cubeStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
+    "q3_join" -> OracleSql.q3Join,
+    "semi_join" -> OracleSql.semiJoin,
+    "anti_join" -> OracleSql.antiJoin,
+    "asof_join" -> OracleSql.asofJoin,
+    "minhash_pairs" -> OracleSql.minhashVerify,
+    "simhash_pairs" -> OracleSql.simhashVerify,
+    "lsh_cosine_pairs" -> OracleSql.lshCosineVerify,
+    "ivf_topk" -> OracleSql.ivfVerify,
     "window_tumbling" -> OracleSql.tumbling(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "window_sliding" -> OracleSql.sliding(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "dedup_exact" -> OracleSql.dedupExact,

@@ -34,8 +34,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // "{OUT}" in oracle SQL resolves to this dump directory: it lets an
+    // oracle re-verify hash-dependent query OUTPUT (e.g. recompute the
+    // exact cosine/jaccard metric for the emitted candidate pairs) even
+    // when the candidate set itself is not DuckDB-reproducible.
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

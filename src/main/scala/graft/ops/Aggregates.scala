@@ -48,14 +48,30 @@ object Aggregates {
       .rollup(col("role"), col("has_text"))
       .agg(count(lit(1)).as("n"))
 
-  /** Top-k largest conversations by turn count (rank window) — the skew
-    * report used to spot hot keys before they hit the stateful layer.
+  /** CUBE lineage stats over (role, has_text) — all four grouping-set
+    * combinations (completes the rollup/cube class of SURVEY.md §2.4).
+    */
+  def cubeStats(turns: DataFrame): DataFrame =
+    turns
+      .withColumn("has_text", col("text").isNotNull)
+      .cube(col("role"), col("has_text"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Top-k largest conversations by turn count — the skew report used to
+    * spot hot keys before they hit the stateful layer.
+    *
+    * Scale shape: orderBy+limit compiles to TakeOrderedAndProject (per-
+    * partition k-heap, driver merges k rows per partition) — never a
+    * global single-task sort window. The rank window then runs over the k
+    * SURVIVORS only. (n_turns desc, conv_id asc) is a total order, so
+    * rank == row_number and the limit loses no tied rows.
     */
   def topConversations(turns: DataFrame, k: Int = 10): DataFrame = {
     val counts = turns.groupBy("conv_id").agg(count(lit(1)).as("n_turns"))
+    val topK = counts.orderBy(col("n_turns").desc, col("conv_id").asc).limit(k)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n_turns").desc, col("conv_id").asc)
-    counts.withColumn("rank", rank().over(w)).filter(col("rank") <= k)
+    topK.withColumn("rank", rank().over(w))
   }
 
   /** Cardinality metrics: exact + approximate distinct conversations per

@@ -60,14 +60,22 @@ object Dedup {
     * so common-shingle skew is the scale risk — mitigated upstream by
     * dropping shingles with document frequency > maxDf (stopword shingles
     * contribute candidates but never decide near-duplicates).
+    *
+    * BOTH the shared counts and the per-doc set sizes come from the SAME
+    * pruned shingle space, so the jaccard value is exactly "Jaccard over
+    * sub-maxDf shingles" at every scale (round-1 version sized from the
+    * unpruned sets — silently undercounting once any df exceeded maxDf).
+    * The df computation is a hash groupBy + left_semi prune, not a window
+    * over the exploded rows (a window forces a full sort of every
+    * (doc, shingle) row; the groupBy is map-side-combined hash agg).
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       maxDf: Int = 1000, textCol: String = "text"): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(shingles(col(textCol), n)).as("sh"))
-    val pruned = sh.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("df") <= maxDf).drop("df")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sh")
+    val pruned = sh.join(keep, Seq("sh"), "left_semi")
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = pruned.as("a").join(pruned.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -144,6 +152,26 @@ object Dedup {
           .cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Attach the TRUE n-gram Jaccard to a candidate-pair frame — the exact
+    * verification step after any approximate candidate generator, and the
+    * column a DuckDB oracle can independently re-derive from the raw text
+    * even when the candidate set is hash-dependent. Shingle sets are
+    * computed once per doc and joined by id (pairs are few; sets attach to
+    * the small side).
+    */
+  def withTrueJaccard(pairs: DataFrame, docs: DataFrame, n: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val sets = docs.select(col("doc_id"), shingles(col(textCol), n).as("s"))
+      .repartition(col("doc_id"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .withColumn("true_jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .drop("sa", "sb")
   }
 
   // ---------------------------------------------------------------- SimHash

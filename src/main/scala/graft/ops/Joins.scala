@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-table relational joins over the TPC-H-shaped tables — the join
+  * classes SURVEY.md §2.4 promises beyond the broadcast/interval joins the
+  * validation pipeline uses (reference analogue: the per-record existence
+  * lookups at TopologyProducer.java:196-208, here as set-granularity joins).
+  *
+  * Scale notes (100 TB):
+  *  - [[topRevenueOrders]]: the orders⋈lineitem leg is the big
+  *    shuffle join (both sides huge, keyed on orderkey — sort-merge under
+  *    AQE, skew-split if an order is hot); the filtered customer leg is
+  *    small-relative and Catalyst broadcasts it when it fits, else it
+  *    shuffles on custkey. Filters and 3-column pruning reach the scans.
+  *    The final top-k is orderBy+limit → TakeOrderedAndProject (per
+  *    partition heap + single driver merge of k rows), never a global sort.
+  *  - [[ordersWithLineitems]]: left_semi — the build side dedups to keys
+  *    before the probe, no payload carried.
+  *  - [[customersWithoutUrgent]]: left_anti with the right side filtered
+  *    first (80% pruned before the exchange).
+  *  - [[asofJoin]]: ONE shuffle of both inputs co-partitioned on the key,
+  *    then a per-partition time-ordered merge (running last-non-null over
+  *    the unioned, side-tagged rows) — the canonical distributed as-of
+  *    plan. No range cross-join, no per-left-row probe. A pathologically
+  *    hot key serializes within its partition; salt by coarse time bucket
+  *    if that ever dominates.
+  */
+object Joins {
+
+  /** TPC-H Q3-flavored: top-k orders by discounted revenue for one market
+    * segment, orders placed before / lineitems shipped after `cutoff`.
+    */
+  def topRevenueOrders(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, segment: String, cutoff: String, k: Int): DataFrame = {
+    val c = customer.filter(col("c_mktsegment") === segment).select("c_custkey")
+    val o = orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = lineitem.filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderkey"))
+      .limit(k)
+  }
+
+  /** Orders having at least one lineitem (left_semi — existence only). */
+  def ordersWithLineitems(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.join(lineitem.select("l_orderkey"),
+        orders("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  /** Customers with NO urgent-priority order (left_anti). */
+  def customersWithoutUrgent(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(
+        orders.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+        customer("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+  /** Distributed as-of join: for each left row, the latest right row with
+    * `right.ts <= left.ts` on the same key (DuckDB `ASOF JOIN` semantics,
+    * inclusive). Right payload columns come back `prefix`-renamed; rows
+    * with no prior right match are dropped (inner as-of).
+    *
+    * Plan: tag sides, union (right sorts before left at equal ts so a
+    * same-instant right row is visible), window
+    * `last(payload, ignoreNulls).over(key ORDER BY ts, side ROWS UNBOUNDED
+    * PRECEDING)` — a single exchange on `key`, one sort, O(n) merge.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String], prefix: String = "r_"): DataFrame = {
+    val r = right.select(
+      col(key) +: col(ts) +:
+        struct(rightCols.map(col): _*).as("_r") +: Nil: _*)
+      .withColumn("_side", lit(0))
+    val l = left.withColumn("_side", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flat = rightCols.map(c => col(s"_asof.$c").as(s"$prefix$c"))
+    unioned
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1 && col("_asof").isNotNull)
+      .select(left.columns.map(col) ++ flat: _*)
+  }
+}

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Baseline: brute-force cosine top-k (broadcast the query set, rank per
-  * query). Scale paths: IVF (deterministic seed centroids, probe the
-  * nearest lists) and random-hyperplane LSH bucketing for near-duplicate
+  * query). Scale paths: IVF (deterministic hash-sampled centroids, probe
+  * the nearest lists) and random-hyperplane LSH bucketing for near-dup
   * pairs. The dot product / norms are pure Catalyst HOFs (`aggregate` over
   * `zip_with`) with strictly sequential summation — which makes the doubles
   * bit-identical to the DuckDB oracle's list_reduce.
@@ -27,14 +27,15 @@ object Similarity {
   /** Brute-force cosine top-k: every `stride`-th vector is a query;
     * queries are broadcast (small side), candidates scanned once, ranked
     * per query. Self-matches excluded. O(Q x N) — the correctness anchor
-    * and the right plan when Q is small.
+    * and the right plan when Q is small. The rank exchange carries only
+    * (q_id, vec_id, cos) — vectors are pruned before the shuffle.
     */
   def bruteTopK(emb: DataFrame, k: Int = 10, stride: Int = 50): DataFrame = {
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val queries = base.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q"))
     val scored = base.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("q"), col("v")))
+      .select(col("q_id"), col("vec_id"), cosine(col("q"), col("v")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -42,45 +43,67 @@ object Similarity {
       .select("q_id", "vec_id", "cos", "rank")
   }
 
-  /** IVF-style ANN: `nlist` deterministic seed centroids (every N/nlist-th
-    * vector), one broadcast pass assigns each vector to its nearest
-    * centroid; a query searches only its `nprobe` nearest lists. Exchanges:
-    * none for assignment (broadcast), one for the candidate join. Recall
-    * is tested against bruteTopK.
+  /** IVF-style ANN, re-planned for scale (round-1 version cost 8x brute
+    * force — cross-join + N×nlist window shuffle + an exchange keyed on 16
+    * list_ids):
+    *
+    *  1. centroids = `nlist` hash-sampled vectors via one
+    *     TakeOrderedAndProject scan (no `count()` pre-scan), collected to
+    *     the driver (nlist rows) and re-emitted as LITERALS;
+    *  2. assignment = per-row argmax over the centroid literals — plain
+    *     projection, ZERO exchange, no window (the centroid scores are
+    *     separate struct elements of one projection, so the shared `v`
+    *     cast/norm aliases are multi-referenced and CollapseProject keeps
+    *     them materialized once per row rather than inlining per score);
+    *  3. probes side (Q × nprobe rows) is BROADCAST into the candidate
+    *     join — the big side never shuffles, and certainly not on a
+    *     16-value key;
+    *  4. the final per-query rank exchange carries only (q_id, vec_id,
+    *     cos), keyed by q_id (many distinct queries at scale).
     */
   def ivfTopK(emb: DataFrame, k: Int = 10, stride: Int = 50, nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val n = base.count()
-    val cstride = math.max(1L, n / nlist)
-    val centroids = base.filter(col("vec_id") % cstride === 0)
-      .limit(nlist)
-      .select(col("vec_id").as("c_id"), col("v").as("c"))
+    // deterministic pseudo-random centroid sample: nlist smallest by hash
+    val cents: Array[(Long, Seq[Double])] = base
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(nlist)
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cNorms = cents.map { case (_, cv) =>
+      math.sqrt(cv.map(x => x * x).sum)
+    }
 
-    // assignment: cross with broadcast centroids, rank by cosine
-    val wv = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id").asc)
-    val assigned = base.join(broadcast(centroids), lit(true))
-      .withColumn("ccos", cosine(col("v"), col("c")))
-      .withColumn("crank", row_number().over(wv))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("c_id").as("list_id"))
+    // cos(v, c_i) for each centroid literal; nv/v are shared aliases.
+    def centScores(v: Column, nv: Column): Seq[Column] =
+      cents.zip(cNorms).map { case ((cid, cv), cn) =>
+        struct((dot(v, typedlit(cv)) / (nv * cn)).as("cos"),
+          lit(cid).as("c_id"))
+      }
 
-    val queries = assigned.filter(col("vec_id") % stride === 0)
+    val assigned = base
+      .withColumn("nv", norm(col("v")))
+      .withColumn("list_id", array_max(array(centScores(col("v"), col("nv")): _*))
+        .getField("c_id"))
+      .select("vec_id", "v", "list_id")
+
+    // probes: per query the nprobe best centroids, exploded — Q*nprobe rows
+    val queries = base.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q"))
-    val probes = queries.join(broadcast(centroids), lit(true))
-      .withColumn("ccos", cosine(col("q"), col("c")))
-      .withColumn("crank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-          .orderBy(col("ccos").desc, col("c_id").asc)))
-      .filter(col("crank") <= nprobe)
-      .select(col("q_id"), col("q"), col("c_id").as("list_id"))
+    val probes = queries
+      .withColumn("nq", norm(col("q")))
+      .withColumn("probe_lists",
+        slice(sort_array(array(centScores(col("q"), col("nq")): _*), asc = false),
+          1, nprobe))
+      .select(col("q_id"), col("q"), explode(col("probe_lists").getField("c_id"))
+        .as("list_id"))
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
-    probes.join(assigned, "list_id")
+    assigned.join(broadcast(probes), "list_id")
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("q"), col("v")))
+      .select(col("q_id"), col("vec_id"), cosine(col("q"), col("v")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "vec_id", "cos", "rank")
@@ -88,11 +111,18 @@ object Similarity {
 
   /** Random-hyperplane LSH code: bit j = sign of <v, h_j> where hyperplane
     * h_j's components are deterministic pseudo-random +/-1 derived from
-    * xxhash64(j, dim_index). Near-dup pairs = same `prefixBits`-bit code
+    * xxhash64(j, dim_index). Near-dup pairs = same `planes`-bit code
     * bucket, verified by exact cosine >= threshold.
+    *
+    * Same scale pattern as Dedup.minhashLshPairs/simhashPairs: the
+    * candidate self-join carries ONLY ids (vectors re-attached by key
+    * behind a repartition barrier — never dragged through the join where
+    * projection collapse would recompute per pair), and mega-buckets
+    * (e.g. near-zero vectors all coding to 0) are capped at `maxBucket` —
+    * a degenerate bucket is O(n²) pairs of pure noise.
     */
   def lshCosinePairs(emb: DataFrame, planes: Int = 16,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9, maxBucket: Int = 1000): DataFrame = {
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val code = aggregate(
       sequence(lit(0), lit(planes - 1)),
@@ -105,11 +135,21 @@ object Similarity {
           lit(0.0), (a, x) => a + x)
         acc.bitwiseOR(when(proj > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L))
       })
-    val coded = base.withColumn("code", code)
-    coded.as("a").join(coded.as("b"),
+    val coded = base.select(col("vec_id"), code.as("code"))
+      .repartition(col("code"))
+    val guarded = coded.withColumn("bn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("code")))
+      .filter(col("bn") <= maxBucket).drop("bn")
+    val cand = guarded.as("a").join(guarded.as("b"),
         col("a.code") === col("b.code") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val va = base.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      .repartition(col("vec_a"))
+    val vb = base.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      .repartition(col("vec_b"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -60,6 +60,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"))
   }
 
+  test("ivf_topk: one final exchange on q_id — never keyed on the 16-value list_id") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val s = plan(graft.ops.Similarity.ivfTopK(emb, k = 5, stride = 100,
+      nlist = 8, nprobe = 4))
+    assert(!s.contains("hashpartitioning(list_id"), s.take(1500))
+    val keys = "Exchange hashpartitioning\\(([a-z_]+)".r.findAllMatchIn(s)
+      .map(_.group(1)).toSeq.distinct
+    assert(keys == Seq("q_id"), s"exchange keys: $keys\n${s.take(1500)}")
+    assert(!s.contains("CartesianProduct"), s.take(1500))
+  }
+
+  test("topk_convs plan uses TakeOrderedAndProject, not a global sort window") {
+    val p = TranscriptGen.ensure(spark, "/root/testdata/sf0.001")
+    val s = plan(graft.ops.Aggregates.topConversations(
+      TranscriptGen.readTranscripts(spark, p), k = 10))
+    assert(s.contains("TakeOrderedAndProject"), s.take(1500))
+  }
+
+  test("ngram jaccard df prune is a hash aggregate, not a window sort") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val s = plan(graft.ops.Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.05))
+    assert(!s.contains("Window"), s.take(2000))
+  }
+
   test("whole-stage codegen covers the stateless column stages") {
     val p = TranscriptGen.ensure(spark, "/root/testdata/sf0.001")
     val parsed = ValidationPipeline.parsed(TranscriptGen.readTranscripts(spark, p))
