@@ -156,11 +156,12 @@ object Bench {
       val outDir = java.nio.file.Files.createTempDirectory("graft_bench_sink").toString
       val ckDir = java.nio.file.Files.createTempDirectory("graft_bench_ck").toString
       val cfg = graft.streaming.StreamValidate.Config(
-        corpus, outDir, ckDir, withDedup = false, maxFilesPerTrigger = 16)
+        corpus, outDir, ckDir, withDedup = false, maxFilesPerTrigger = 32,
+        availableNow = true)
       System.err.println(s"[bench] streaming e2e over $rows rows...")
       val t0 = System.nanoTime()
       val q = graft.streaming.StreamValidate.start(spark, cfg, TranscriptGen.catalog)
-      q.processAllAvailable(); q.stop()
+      q.awaitTermination(); q.stop()
       val sec = (System.nanoTime() - t0) / 1e9
       // clean the multi-GB sink output
       import scala.reflect.io.Directory

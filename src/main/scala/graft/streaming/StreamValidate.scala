@@ -35,7 +35,8 @@ object StreamValidate {
       enableBlacklist: Boolean = true,
       withDedup: Boolean = true,
       watermark: String = "10 minutes",
-      maxFilesPerTrigger: Int = 4)
+      maxFilesPerTrigger: Int = 4,
+      availableNow: Boolean = false)
 
   def decisions(spark: SparkSession, cfg: Config, cat: Catalog): DataFrame = {
     import spark.implicits._
@@ -58,7 +59,11 @@ object StreamValidate {
     decisions(spark, cfg, cat).writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .outputMode("append")
-      .trigger(Trigger.ProcessingTime("1 second"))
+      // AvailableNow = drain the backlog at max rate then stop (the honest
+      // trigger for throughput benchmarking and for batch-catchup restarts);
+      // ProcessingTime for the steady-state tailing mode.
+      .trigger(if (cfg.availableNow) Trigger.AvailableNow()
+        else Trigger.ProcessingTime("1 second"))
       .foreachBatch { (df: DataFrame, id: Long) => sink.writeBatch(df, id) }
       .start()
   }

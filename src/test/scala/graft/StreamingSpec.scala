@@ -135,7 +135,7 @@ class StreamingSpec extends SparkSpec {
     assert(sink.read(spark, "valid").count() == n1)
 
     // torn write: data landed for batch 8 but no commit marker
-    ValidationPipeline.routes(dec)._1.limit(3)
+    dec.limit(3).withColumn("partition_id", spark_partition_id())
       .write.mode("overwrite").parquet(s"$out/valid/batch_id=8")
     assert(sink.read(spark, "valid").count() == n1, "uncommitted batch visible")
     sink.writeBatch(dec, 8L) // repair overwrites the torn partition
