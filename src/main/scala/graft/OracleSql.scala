@@ -458,6 +458,16 @@ SELECT doc_id,
     (acc, c) -> (acc * 31 + c) % ${graft.ops.TextMetrics.FpMod}) AS fingerprint
 FROM n ORDER BY doc_id"""
 
+  /** Set ops: conversations using both tools / search only. */
+  def setOps(txDir: String): String = s"""
+WITH tx AS (SELECT * FROM read_parquet('$txDir/transcripts.parquet/*.parquet')),
+s AS (SELECT DISTINCT conv_id FROM tx WHERE tool = 'search'),
+c AS (SELECT DISTINCT conv_id FROM tx WHERE tool = 'calculator')
+SELECT conv_id, 'both_tools' AS op FROM (SELECT * FROM s INTERSECT SELECT * FROM c)
+UNION ALL
+SELECT conv_id, 'search_only' AS op FROM (SELECT * FROM s EXCEPT SELECT * FROM c)
+ORDER BY op, conv_id"""
+
   def cubeStats(txDir: String): String = s"""
 SELECT role, text IS NOT NULL AS has_text, count(*) AS n
 FROM read_parquet('$txDir/transcripts.parquet/*.parquet')

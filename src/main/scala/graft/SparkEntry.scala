@@ -83,6 +83,8 @@ object SparkEntry {
     "cube_stats" -> ((s, dir) =>
       graft.ops.Aggregates.cubeStats(tx(s, dir))
         .orderBy(asc_nulls_first("role"), asc_nulls_first("has_text"), col("n"))),
+    "set_ops" -> ((s, dir) =>
+      graft.ops.Aggregates.toolSetOps(tx(s, dir)).orderBy("op", "conv_id")),
     // ----- join classes over the TPC-H-shaped tables ----------------------
     "q3_join" -> ((s, dir) =>
       graft.ops.Joins.topRevenueOrders(
@@ -199,6 +201,7 @@ object SparkEntry {
     "cardinality" -> OracleSql.cardinality(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "cardinality_approx" -> OracleSql.cardinalityApprox(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "cube_stats" -> OracleSql.cubeStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
+    "set_ops" -> OracleSql.setOps(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "q3_join" -> OracleSql.q3Join,
     "semi_join" -> OracleSql.semiJoin,
     "anti_join" -> OracleSql.antiJoin,

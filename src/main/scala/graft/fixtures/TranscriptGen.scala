@@ -120,8 +120,10 @@ object TranscriptGen {
     "tidy_name" -> 3, "regex_fail" -> 8, "wrong_source" -> 4,
     "source_missing" -> 2, "target_missing" -> 3, "att_not_allowed" -> 3,
     "att_unknown" -> 2, "abn_valid" -> 3, "abn_invalid" -> 2,
-    "abn_nonnumeric" -> 1, "abn_wronglen" -> 1, "luhn_valid" -> 3,
+    "abn_nonnumeric" -> 1, "abn_wronglen" -> 1, "abn_null" -> 1,
+    "luhn_valid" -> 3,
     "luhn_invalid" -> 2, "luhn_empty" -> 1, "luhn_alpha" -> 1,
+    "luhn_null" -> 1,
     "webdata" -> 2, "empty_items" -> 1, "missing_items" -> 1,
     "multi_lastwins" -> 2, "multi_abort" -> 1, "multi_fail_last" -> 2,
     "webdata_then_fail" -> 1, "def_missing" -> 1, "token_garbage" -> 1,
@@ -167,6 +169,8 @@ object TranscriptGen {
       case "abn_invalid" => one("PRI_ABN", "51824753557")
       case "abn_nonnumeric" => one("PRI_ABN", "ABN1234567")
       case "abn_wronglen" => one("PRI_ABN", "123456")
+      case "abn_null" => one("PRI_ABN", null) // reference NPEs → abort
+      case "luhn_null" => one("PRI_CREDITCARD", null) // reference NPEs → abort
       case "luhn_valid" => one("PRI_CREDITCARD", "4242424242424242")
       case "luhn_invalid" => one("PRI_CREDITCARD", "4242424242424243")
       case "luhn_empty" => one("PRI_CREDITCARD", "") // Q7: valid

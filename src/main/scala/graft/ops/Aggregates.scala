@@ -74,6 +74,18 @@ object Aggregates {
     topK.withColumn("rank", rank().over(w))
   }
 
+  /** Set operations over conversation key sets: conversations that used
+    * BOTH tools (intersect) and search-only conversations (except). Both
+    * compile to distinct-aggregates + a shuffle keyed on conv_id — no
+    * driver-side set materialization.
+    */
+  def toolSetOps(turns: DataFrame): DataFrame = {
+    val s = turns.filter(col("tool") === "search").select("conv_id").distinct()
+    val c = turns.filter(col("tool") === "calculator").select("conv_id").distinct()
+    s.intersect(c).withColumn("op", lit("both_tools"))
+      .unionByName(s.except(c).withColumn("op", lit("search_only")))
+  }
+
   /** Cardinality metrics: exact + approximate distinct conversations per
     * role (HLL-based approx_count_distinct; the approx column is excluded
     * from the DuckDB oracle, which checks the exact ones).

@@ -145,6 +145,18 @@ class EvaluatorSpec extends AnyFunSuite {
     assert(eval(turn(env(a("PRI_CREDITCARD", "4242ABCD")))).reason == Reasons.LuhnFail)
   }
 
+  test("null checksum value ABORTS (reference NPEs inside the validator)") {
+    // abort ⇒ a later answer must NOT overwrite the failure (Q2-style)
+    val d = eval(turn(env(
+      a("PRI_ABN", null),
+      a("PRI_EMAIL", "user1@example.com"))))
+    assert(d.decision == "rejected" && d.reason == Reasons.AbnFail)
+    val d2 = eval(turn(env(
+      a("PRI_CREDITCARD", null),
+      a("PRI_EMAIL", "user1@example.com"))))
+    assert(d2.decision == "rejected" && d2.reason == Reasons.LuhnFail)
+  }
+
   test("empty validation list attribute always rejects") {
     assert(eval(turn(env(a("PRI_EMPTYLIST", "anything")))).reason == Reasons.RegexFail)
   }
