@@ -67,9 +67,18 @@ object Bench {
     extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
     pb.redirectErrorStream(false)
     val proc = pb.start()
+    // Drain stderr CONCURRENTLY: a cluster child logs >64 KB of
+    // master/worker/executor startup before setLogLevel bites, which
+    // fills the stderr pipe and deadlocks a sequential stdout-then-stderr
+    // read (the child blocks on write, the parent on read — hit live).
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val drainer = new Thread(() => proc.getErrorStream.transferTo(errBuf))
+    drainer.setDaemon(true)
+    drainer.start()
     val out = new String(proc.getInputStream.readAllBytes())
-    val err = new String(proc.getErrorStream.readAllBytes())
-    (proc.waitFor(), out, err)
+    val rc = proc.waitFor()
+    drainer.join(5000)
+    (rc, out, errBuf.toString)
   }
 
   /** Thread-realization child (local[cpus], ActiveProcessorCount pinned);
