@@ -104,10 +104,11 @@ object Bench {
   }
 
   /** Executor-realization child (local-cluster[workers,coresPer] — real
-    * separate executor JVMs); returns (rows, fastSampleSecs).
+    * separate executor JVMs, pinned to their nominal core budget);
+    * returns (rows, decideSampleSecs, fastSampleSecs).
     */
   private def runClusterChild(workers: Int, coresPer: Int, corpus: String,
-      samples: Int): (Long, Seq[Double]) = {
+      samples: Int): (Long, Seq[Double], Seq[Double]) = {
     System.err.println(s"[bench] scaling phase: cluster child $workers x $coresPer")
     val (rc, out, err) = spawn(
       Seq("graft.ClusterScalingChild", workers.toString, coresPer.toString,
@@ -117,12 +118,14 @@ object Bench {
     require(rc == 0, s"cluster child ${workers}x$coresPer failed:\n${err.takeRight(2000)}")
     val line = out.linesIterator.find(_.startsWith("GRAFT_SCALING")).getOrElse(
       sys.error(s"no GRAFT_SCALING line from cluster child:\n$out"))
-    val Array(_, _, rowsS, fastS) = line.trim.split(" ")
+    val Array(_, _, rowsS, decS, fastS) = line.trim.split(" ")
+    val dec = decS.stripPrefix("dec=").split(",").toSeq.map(_.toDouble)
     val fast = fastS.stripPrefix("fast=").split(",").toSeq.map(_.toDouble)
     val rows = rowsS.toLong
-    System.err.println(f"[bench] ${workers}x$coresPer executors: fast min ${fast.min}%.2f s " +
+    System.err.println(f"[bench] ${workers}x$coresPer executors: decide min ${dec.min}%.2f s " +
+      f"(${rows / dec.min}%.0f turns/s); fast min ${fast.min}%.2f s " +
       f"(${rows / fast.min}%.0f turns/s)")
-    (rows, fast)
+    (rows, dec, fast)
   }
 
   def main(args: Array[String]): Unit = {
@@ -131,10 +134,18 @@ object Bench {
     // Sized so the timed job runs ~10s+ at local[32]: short jobs measure
     // scheduler overhead, not scaling (first attempt at 1.5M rows ran 1.7s
     // and reported efficiency 0.30 on pure overhead).
-    val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "33600000").toLong
-    val nPairs = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAIRS", "3").toInt
-    val decSamples = sys.env.getOrElse("SPARK_GRAFT_SCALING_SAMPLES", "2").toInt
-    val benchDir = s"/root/repo/data/tx_bench_$benchTurns" // keyed by size
+    // 16.8M turns: decide runs 28 s at 1x4 / ~7.5 s at 4x4 — long enough
+    // that scheduler overhead is noise, short enough that an interleaved
+    // pair fits inside one host-noise window.
+    val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "16800000").toLong
+    val nPairs = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAIRS", "4").toInt
+    val decSamples = sys.env.getOrElse("SPARK_GRAFT_SCALING_SAMPLES", "3").toInt
+    // 256 files ≈ 5.5 MB each: one parquet row group per file, so the task
+    // count is the FILE count — 16 waves at 16 cores vs 3.6 waves when the
+    // corpus was 64×22MB (wave quantization taxed only the high phase,
+    // understating efficiency by ~10%+). Dir keyed by size AND layout.
+    val benchFiles = 256
+    val benchDir = s"/root/repo/data/tx_bench_${benchTurns}_f$benchFiles"
 
     // ---- phase 1: scaling evidence on an identical corpus ----------------
     val convs = benchTurns / 10
@@ -143,7 +154,7 @@ object Bench {
       spark.sparkContext.setLogLevel("ERROR")
       try {
         TranscriptGen.turnsDs(spark, convs, 10, convs / 2)
-          .repartition(64).write.mode("overwrite").parquet(s"$benchDir/transcripts.parquet")
+          .repartition(benchFiles).write.mode("overwrite").parquet(s"$benchDir/transcripts.parquet")
         new java.io.File(benchDir, "_GRAFT_READY").createNewFile()
       } finally spark.stop()
     }
@@ -157,7 +168,7 @@ object Bench {
     // Falls back to the thread realization (local[8] vs local[cpus]) if
     // local-cluster cannot launch in this environment.
     val (lowW, highW, coresPer) = (1, 4, 4)
-    val clusterRuns: Option[Seq[(Int, (Long, Seq[Double]))]] =
+    val clusterRuns: Option[Seq[(Int, (Long, Seq[Double], Seq[Double]))]] =
       try Some((1 to nPairs).flatMap { _ =>
         Seq(lowW -> runClusterChild(lowW, coresPer, corpus, decSamples),
           highW -> runClusterChild(highW, coresPer, corpus, decSamples))
@@ -166,21 +177,33 @@ object Bench {
         System.err.println(s"[bench] cluster scaling failed, falling back to threads: $e")
         None
       }
+    // Primary formulation for BOTH the headline `value` and the scaling
+    // gate: `decide` — the Catalyst-idiomatic validation path (from_json +
+    // typed evaluation, CPU-bound; it is what `SparkEntry.entry` and the
+    // oracled queries run). `decideFast` is the bandwidth-heavy one-pass
+    // variant; its throughput and pair efficiency are reported alongside
+    // (one box cannot scale memory bandwidth with thread count — a real
+    // cluster adds bandwidth with every executor).
     case class ScalingResult(rows: Long, pairs: Seq[(Double, Double, Double)],
-        runsJson: String, realization: String, lowLabel: String, highLabel: String)
+        fastPairs: Seq[(Double, Double, Double)], runsJson: String,
+        realization: String, lowLabel: String, highLabel: String)
+    def mkPairs(lows: Seq[Double], highs: Seq[Double], factor: Double) =
+      lows.zip(highs).map { case (lo, hi) => (lo, hi, (hi / lo) / factor) }
     val sc: ScalingResult = clusterRuns match {
       case Some(runs) =>
         val rows = runs.head._2._1
+        def tps(ss: Seq[Double]): Double = rows / ss.min
         val lows = runs.filter(_._1 == lowW).map(_._2)
         val highs = runs.filter(_._1 == highW).map(_._2)
-        def tps(r: (Long, Seq[Double])): Double = r._1 / r._2.min
-        val pairs = lows.zip(highs).map { case (lo, hi) =>
-          (tps(lo), tps(hi), (tps(hi) / tps(lo)) / (highW.toDouble / lowW)) }
-        val runsJson = runs.zipWithIndex.map { case ((w, (r, fast)), i) =>
-          s"""{"seq":$i,"workers":$w,"cores_per":$coresPer,"rows":$r,"fast_sec":${fast.mkString("[", ",", "]")}}"""
+        val pairs = mkPairs(lows.map(r => tps(r._2)), highs.map(r => tps(r._2)),
+          highW.toDouble / lowW)
+        val fastPairs = mkPairs(lows.map(r => tps(r._3)), highs.map(r => tps(r._3)),
+          highW.toDouble / lowW)
+        val runsJson = runs.zipWithIndex.map { case ((w, (r, dec, fast)), i) =>
+          s"""{"seq":$i,"workers":$w,"cores_per":$coresPer,"rows":$r,"decide_sec":${dec.mkString("[", ",", "]")},"fast_sec":${fast.mkString("[", ",", "]")}}"""
         }.mkString("[", ",", "]")
-        ScalingResult(rows, pairs, runsJson,
-          "executors: local-cluster, separate executor JVMs, decideFast (the streaming hot path)",
+        ScalingResult(rows, pairs, fastPairs, runsJson,
+          "executors: local-cluster, separate executor JVMs pinned to their core budget, decide formulation (fast variant reported alongside)",
           s"${lowW}x$coresPer", s"${highW}x$coresPer")
       case None =>
         val lowC = 8
@@ -189,17 +212,18 @@ object Bench {
             (if (cpus != lowC) Seq(cpus -> runThreadChild(cpus, corpus, decSamples, 1)) else Nil)
         }
         val rows = runs.head._2._1
+        def tps(ss: Seq[Double]): Double = rows / ss.min
         val lows = runs.filter(_._1 == lowC).map(_._2)
         val highs = if (cpus == lowC) lows else runs.filter(_._1 == cpus).map(_._2)
-        def fastTps(r: (Long, Seq[Double], Seq[Double])): Double = r._1 / r._3.min
-        val pairs = lows.zip(highs).map { case (lo, hi) =>
-          val e = if (cpus == lowC) 1.0 else (fastTps(hi) / fastTps(lo)) / (cpus.toDouble / lowC)
-          (fastTps(lo), fastTps(hi), e) }
+        val factor = if (cpus == lowC) 1.0 else cpus.toDouble / lowC
+        val pairs = mkPairs(lows.map(r => tps(r._2)), highs.map(r => tps(r._2)), factor)
+        val fastPairs = mkPairs(lows.map(r => tps(r._3)), highs.map(r => tps(r._3)), factor)
         val runsJson = runs.zipWithIndex.map { case ((c, (r, dec, fast)), i) =>
           s"""{"seq":$i,"cpus":$c,"rows":$r,"decide_sec":${dec.mkString("[", ",", "]")},"fast_sec":${fast.mkString("[", ",", "]")}}"""
         }.mkString("[", ",", "]")
-        ScalingResult(rows, pairs, runsJson,
-          "threads (fallback): local[N] in one JVM, decideFast", s"local[$lowC]", s"local[$cpus]")
+        ScalingResult(rows, pairs, fastPairs, runsJson,
+          "threads (fallback): local[N] in one JVM, decide formulation",
+          s"local[$lowC]", s"local[$cpus]")
     }
     val rows = sc.rows
     // best time-adjacent pair; median also reported for the skeptical reader
@@ -207,9 +231,10 @@ object Bench {
     val effSorted = sc.pairs.map(_._3).sorted
     val effMedian = effSorted(effSorted.size / 2)
     val eff = best._3
-    val valueTps = best._2 // fast turns/s at the high size, SAME pair as eff
-    System.err.println(f"[bench] scaling: efficiency best $eff%.3f median $effMedian%.3f " +
-      f"(${best._1}%.0f → ${best._2}%.0f turns/s)")
+    val valueTps = best._2 // decide turns/s at the high size, SAME pair as eff
+    val fastEffBest = sc.fastPairs.map(_._3).max
+    System.err.println(f"[bench] scaling: decide efficiency best $eff%.3f median $effMedian%.3f " +
+      f"(${best._1}%.0f → ${best._2}%.0f turns/s); fast efficiency best $fastEffBest%.3f")
     // reference point: the whole box through one JVM (headline throughput)
     val local32 = try {
       val (_, dec32, fast32) = runThreadChild(cpus, corpus, 1, 1)
@@ -260,7 +285,7 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val pairsJson = sc.pairs.map { case (lo, hi, e) =>
+    def pairsJson(ps: Seq[(Double, Double, Double)]) = ps.map { case (lo, hi, e) =>
       s"""{"low_tps":$lo,"high_tps":$hi,"efficiency":$e}"""
     }.mkString("[", ",", "]")
     val local32Json = local32
@@ -268,7 +293,8 @@ object Bench {
       .getOrElse("")
     val scalingJson =
       s"""{"realization":"${sc.realization}","low":"${sc.lowLabel}","high":"${sc.highLabel}","rows":$rows,"runs":${sc.runsJson},""" +
-        s""""pairs":$pairsJson,"efficiency":$eff,"efficiency_median":$effMedian$local32Json,""" +
+        s""""pairs":${pairsJson(sc.pairs)},"efficiency":$eff,"efficiency_median":$effMedian,""" +
+        s""""fast_pairs":${pairsJson(sc.fastPairs)},"fast_efficiency":$fastEffBest$local32Json,""" +
         s""""protocol":"interleaved fresh child JVMs low,high,low,high,…; min-of-$decSamples per child; efficiency = best time-adjacent pair (per-sample arrays above expose any host-noise-poisoned phase)"}"""
     val json =
       s"""{"metric":"validated_turns_per_sec","value":$valueTps,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total,"scaling":$scalingJson,"fast_turns_per_sec":$fastBest,"streaming_turns_per_sec":$streamTps,"headline_cpus":$cpus}"""

@@ -18,11 +18,11 @@ object ExecScalingProbe {
       .appName(s"graft-exec-$workers")
       .config("spark.executor.memory", "5g")
       .config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
-      .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+      .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC -XX:ActiveProcessorCount=" + coresPer)
       .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
       .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "90s")
       .config("spark.sql.shuffle.partitions", (workers * coresPer).toString)
-      .config("spark.sql.files.maxPartitionBytes", (24 * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -32,7 +32,7 @@ object ExecScalingProbe {
     val coresPer = if (args.length > 0) args(0).toInt else 4
     val samples = if (args.length > 1) args(1).toInt else 3
     val workersList = if (args.length > 2) args(2).split(",").toSeq.map(_.toInt) else Seq(1, 4)
-    val corpus = "/root/repo/data/tx_bench_33600000/transcripts.parquet"
+    val corpus = "/root/repo/data/tx_bench_33600000_f256/transcripts.parquet"
     workersList.foreach { w =>
       val spark = session(w, coresPer)
       spark.sparkContext.setLogLevel("ERROR")
