@@ -8,19 +8,31 @@ import org.apache.spark.sql.functions._
   * Baseline: brute-force cosine top-k (broadcast the query set, rank per
   * query). Scale paths: IVF (deterministic hash-sampled centroids, probe
   * the nearest lists) and random-hyperplane LSH bucketing for near-dup
-  * pairs. The dot product / norms are pure Catalyst HOFs (`aggregate` over
-  * `zip_with`) with strictly sequential summation — which makes the doubles
-  * bit-identical to the DuckDB oracle's list_reduce.
+  * pairs. The dot product / cosine are native codegen expressions
+  * (graft.functions.VectorExpr) with strictly sequential summation —
+  * which makes the doubles bit-identical both to the HOF reference
+  * formulation kept here and to the DuckDB oracle's list_reduce.
   */
 object Similarity {
 
-  /** Sequential-order dot product of two double arrays (codegen HOF). */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-order dot product of two double arrays — HOF reference
+    * formulation (CodegenFallback: interpreted lambda per element). Kept
+    * for the kernel-parity spec; hot paths use the native expressions.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
+
+  /** Native codegen kernels (same strictly sequential summation order —
+    * bit-identical to the HOF form and to DuckDB's list_reduce).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpr.dot_f64(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExpr.cosine_sim(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
