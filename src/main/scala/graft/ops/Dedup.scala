@@ -91,23 +91,28 @@ object Dedup {
 
   // ------------------------------------------------------------ MinHash+LSH
 
+  /** HOF reference formulation of the MinHash signature — an
+    * elementwise-min fold over per-shingle hash rows. CodegenFallback
+    * (interpreted lambdas, one intermediate numHashes-array per shingle);
+    * kept only for the kernel-parity spec.
+    */
+  def minhashSigHof(sh: Column, numHashes: Int): Column =
+    aggregate(
+      transform(sh,
+        s => transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, s))),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, hs) => zip_with(acc, hs, (a, b) => least(a, b)))
+
   /** MinHash signature: sig[i] = min over shingles of xxhash64(i, shingle).
-    * Pure Catalyst — no UDF, no shuffle. Shaped as an elementwise-min FOLD
-    * over per-shingle hash rows (shingles in argument position, evaluated
-    * once) rather than `transform(seeds, i -> array_min(...shingles...))`,
-    * which would re-evaluate the shingle pipeline once per seed (see
-    * [[shingles]] on lambda-body re-evaluation).
+    * Native codegen expression (graft.functions.MinHashSig) — one static
+    * loop per row, bit-identical to [[minhashSigHof]] (parity-tested). No
+    * UDF, no shuffle.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64,
       n: Int = 3, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig",
-        aggregate(
-          transform(col("sh"),
-            s => transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, s))),
-          array_repeat(lit(Long.MaxValue), numHashes),
-          (acc, hs) => zip_with(acc, hs, (a, b) => least(a, b))))
+      .withColumn("sig", graft.functions.SketchExpr.minhash_sig(col("sh"), numHashes))
       .drop("sh")
 
   /** LSH banding: split the signature into `bands` bands of r rows, bucket
@@ -176,24 +181,31 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over words: bit j of the fingerprint is the sign of
-    * sum over words of (+1/-1 per bit j of xxhash64(word)). Pure Catalyst:
-    * aggregate HOF with a 64-element vector accumulator.
+  /** HOF reference formulation of the 64-bit SimHash (aggregate with a
+    * 64-element vector accumulator) — kept for the kernel-parity spec.
     */
-  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val ws = array_distinct(words(col(textCol)))
-    val bitVec = aggregate(ws,
+  def simhashHof(wordsArr: Column): Column = {
+    val bitVec = aggregate(wordsArr,
       array_repeat(lit(0), 64),
       (acc, w) => zip_with(acc,
         transform(sequence(lit(0), lit(63)),
           j => when(call_function("shiftright", xxhash64(w), j).bitwiseAND(1) === 1, 1).otherwise(-1)),
         (a, b) => a + b))
-    docs.select(col("doc_id"),
-      aggregate(
-        zip_with(bitVec, sequence(lit(0), lit(63)),
-          (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
-        lit(0L), (acc, x) => acc.bitwiseOR(x)).as("simhash"))
+    aggregate(
+      zip_with(bitVec, sequence(lit(0), lit(63)),
+        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
+
+  /** 64-bit SimHash over words: bit j of the fingerprint is the sign of
+    * sum over words of (+1/-1 per bit j of xxhash64(word)). Native codegen
+    * expression (graft.functions.SimHash64), bit-identical to
+    * [[simhashHof]] (parity-tested).
+    */
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SketchExpr.simhash64(array_distinct(words(col(textCol))))
+        .as("simhash"))
 
   /** SimHash near-dup pairs: bucket by the 4 x 16-bit sub-blocks (a pair
     * within Hamming distance 3 must agree on at least one block), then

@@ -133,20 +133,27 @@ object Similarity {
     * (e.g. near-zero vectors all coding to 0) are capped at `maxBucket` —
     * a degenerate bucket is O(n²) pairs of pure noise.
     */
-  def lshCosinePairs(emb: DataFrame, planes: Int = 16,
-      threshold: Double = 0.9, maxBucket: Int = 1000): DataFrame = {
-    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val code = aggregate(
+  /** HOF reference formulation of the hyperplane code — kept for the
+    * kernel-parity spec.
+    */
+  def lshCodeHof(v: Column, planes: Int): Column =
+    aggregate(
       sequence(lit(0), lit(planes - 1)),
       lit(0L),
       (acc, j) => {
         val proj = aggregate(
-          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+          zip_with(v, sequence(lit(0), size(v) - 1),
             (x, d) => when(call_function("shiftright", xxhash64(j, d), lit(7)).bitwiseAND(1) === 1, x)
               .otherwise(-x)),
           lit(0.0), (a, x) => a + x)
         acc.bitwiseOR(when(proj > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L))
       })
+
+  def lshCosinePairs(emb: DataFrame, planes: Int = 16,
+      threshold: Double = 0.9, maxBucket: Int = 1000): DataFrame = {
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // native codegen hyperplane code, bit-identical to lshCodeHof
+    val code = graft.functions.SketchExpr.hyperplane_code(col("v"), planes)
     val coded = base.select(col("vec_id"), code.as("code"))
       .repartition(col("code"))
     val guarded = coded.withColumn("bn",
