@@ -499,6 +499,32 @@ GROUP BY o_orderkey, o_orderdate
 ORDER BY revenue DESC, o_orderkey
 LIMIT 20"""
 
+  /** TPC-H Q5-flavored 6-table join with the local-supplier rule. */
+  val q5Join: String = """
+SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY n_name"""
+
+  /** Blacklist-off promotion (V13 / quirk Q5): every message becomes
+    * valid; originally-rejected ones carry promoted=true and KEEP their
+    * reason + uuid (the reference flips only the forwarding decision,
+    * TopologyProducer.java:283-284).
+    */
+  def decisionsPromoted(txDir: String): String = s"""
+SELECT d.conv_id, d.turn_idx, d.role, 'valid' AS decision, d.reason, d.uuid,
+  d.decision = 'rejected' AS promoted
+FROM (${decisions(txDir)}) d
+ORDER BY d.conv_id, d.turn_idx"""
+
   /** left_semi: orders having at least one lineitem. */
   val semiJoin: String = """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

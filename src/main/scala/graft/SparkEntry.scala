@@ -93,6 +93,21 @@ object SparkEntry {
         s.read.parquet(s"$dir/lineitem.parquet"),
         segment = "BUILDING", cutoff = "1998-01-01", k = 20)
         .orderBy(desc("revenue"), asc("o_orderkey"))),
+    "q5_join" -> ((s, dir) =>
+      graft.ops.Joins.regionRevenue(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/region.parquet"),
+        regionName = "ASIA", yearStart = "1996-01-01", yearEnd = "1997-01-01")
+        .orderBy("n_name")),
+    "validate_promoted" -> ((s, dir) => // V13/Q5: blacklist off promotes
+      ValidationPipeline.decide(s, tx(s, dir), TranscriptGen.catalog,
+        enableBlacklist = false).toDF()
+        .select("conv_id", "turn_idx", "role", "decision", "reason", "uuid", "promoted")
+        .orderBy("conv_id", "turn_idx")),
     "semi_join" -> ((s, dir) =>
       graft.ops.Joins.ordersWithLineitems(
         s.read.parquet(s"$dir/orders.parquet"),
@@ -203,6 +218,8 @@ object SparkEntry {
     "cube_stats" -> OracleSql.cubeStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "set_ops" -> OracleSql.setOps(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "q3_join" -> OracleSql.q3Join,
+    "q5_join" -> OracleSql.q5Join,
+    "validate_promoted" -> OracleSql.decisionsPromoted(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "semi_join" -> OracleSql.semiJoin,
     "anti_join" -> OracleSql.antiJoin,
     "asof_join" -> OracleSql.asofJoin,

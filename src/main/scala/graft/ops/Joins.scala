@@ -48,6 +48,34 @@ object Joins {
       .limit(k)
   }
 
+  /** TPC-H Q5-flavored: revenue by nation for one region + one order-date
+    * year — a SIX-table join (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈
+    * nation ⋈ region with the local-supplier constraint c_nationkey =
+    * s_nationkey). Catalyst join reordering + AQE pick the physical order;
+    * nation/region/supplier are broadcast-sized, orders⋈lineitem is the
+    * big keyed shuffle, and the date filter prunes orders at the scan.
+    */
+  def regionRevenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      regionName: String, yearStart: String, yearEnd: String): DataFrame = {
+    val o = orders.filter(col("o_orderdate") >= lit(yearStart).cast("timestamp") &&
+      col("o_orderdate") < lit(yearEnd).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val r = region.filter(col("r_name") === regionName).select("r_regionkey")
+    lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey")) // local-supplier rule
+      .join(nation.select("n_nationkey", "n_name", "n_regionkey"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
   /** Orders having at least one lineitem (left_semi — existence only). */
   def ordersWithLineitems(orders: DataFrame, lineitem: DataFrame): DataFrame =
     orders.join(lineitem.select("l_orderkey"),
