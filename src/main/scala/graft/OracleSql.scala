@@ -630,6 +630,16 @@ JOIN sh a ON a.doc_id = p.doc_a
 JOIN sh b ON b.doc_id = p.doc_b
 ORDER BY doc_a, doc_b"""
 
+  /** Multimodal synthesize metadata: media_type and payload size are pure
+    * functions of (doc_id, n_chars) — independently re-derivable even
+    * though the payload bytes / features come from the stubbed decoder.
+    */
+  val multimodalMeta: String = """
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS media_type,
+  CAST(64 + (n_chars % 192) AS INT) AS n_bytes
+FROM documents ORDER BY doc_id"""
+
   /** Brute-force cosine top-k (k=10, stride=50), sequential-sum doubles. */
   val cosineTopK: String = """
 WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -186,6 +186,15 @@ object SparkEntry {
         .drop("features")
         .orderBy("doc_id")
     }),
+    "multimodal_meta" -> ((s, dir) => { // metadata plumbing is oracle-
+      // derivable from documents (media_type/n_bytes are pure functions of
+      // doc_id/n_chars); checksum+digest stay in multimodal_features
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Multimodal.extractFeatures(s,
+        graft.ops.Multimodal.synthesize(s, docs)).toDF()
+        .select("doc_id", "media_type", "n_bytes")
+        .orderBy("doc_id")
+    }),
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -236,6 +245,7 @@ object SparkEntry {
     "lang_id" -> OracleSql.langId,
     "doc_fingerprint" -> OracleSql.docFingerprint,
     "cosine_topk" -> OracleSql.cosineTopK,
+    "multimodal_meta" -> OracleSql.multimodalMeta,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
