@@ -282,6 +282,29 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming e2e FAILED: $e"); -1.0
     }
+    // ---- phase 3b: STATEFUL streaming e2e — conv_id-keyed dedup state
+    // (flatMapGroupsWithState, RocksDB store) in the same topology -------
+    val streamStatefulTps = try {
+      val outDir = java.nio.file.Files.createTempDirectory("graft_bench_sink_st").toString
+      val ckDir = java.nio.file.Files.createTempDirectory("graft_bench_ck_st").toString
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val cfg = graft.streaming.StreamValidate.Config(
+        corpus, outDir, ckDir, withDedup = true, maxFilesPerTrigger = 64,
+        availableNow = true)
+      System.err.println(s"[bench] stateful streaming e2e over $rows rows...")
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamValidate.start(spark, cfg, TranscriptGen.catalog)
+      q.awaitTermination(); q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(outDir)).deleteRecursively()
+      new Directory(new java.io.File(ckDir)).deleteRecursively()
+      System.err.println(s"[bench] stateful streaming e2e: $sec s (${rows / sec} turns/s)")
+      rows / sec
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stateful streaming e2e FAILED: $e"); -1.0
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -297,7 +320,7 @@ object Bench {
         s""""fast_pairs":${pairsJson(sc.fastPairs)},"fast_efficiency":$fastEffBest$local32Json,""" +
         s""""protocol":"interleaved fresh child JVMs low,high,low,high,…; min-of-$decSamples per child; efficiency = best time-adjacent pair (per-sample arrays above expose any host-noise-poisoned phase)"}"""
     val json =
-      s"""{"metric":"validated_turns_per_sec","value":$valueTps,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total,"scaling":$scalingJson,"fast_turns_per_sec":$fastBest,"streaming_turns_per_sec":$streamTps,"headline_cpus":$cpus}"""
+      s"""{"metric":"validated_turns_per_sec","value":$valueTps,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total,"scaling":$scalingJson,"fast_turns_per_sec":$fastBest,"streaming_turns_per_sec":$streamTps,"streaming_stateful_turns_per_sec":$streamStatefulTps,"headline_cpus":$cpus}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/data/bench_last.json"),
       json.getBytes("UTF-8"))
     spark.stop()

@@ -40,6 +40,9 @@ object DedupState {
   def dedup(spark: SparkSession, turns: Dataset[Turn], watermark: String = "10 minutes",
       gap: String = "30 minutes"): Dataset[DedupedTurn] = {
     import spark.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapMs = iv.days * 86400000L + iv.microseconds / 1000L
     turns
       .withWatermark("ts", watermark)
       .groupByKey(_.conv_id)
@@ -65,9 +68,16 @@ object DedupState {
               }
             }.toVector // drain before updating state
             state.update(s)
-            // close the conversation `gap` after its newest event time
+            // close the conversation `gap` after its newest event time.
+            // CLAMP to watermark+1: one micro-batch can span far more
+            // event time than `gap` (a backfill/availableNow batch over
+            // 10^12 turns spans years), so an old conversation's close
+            // time may already be behind the batch-end watermark — Spark
+            // rejects such a timestamp; watermark+1 expires it at the
+            // next batch, which is the same semantics (already closed).
             if (maxTs != Long.MinValue)
-              state.setTimeoutTimestamp(maxTs, gap)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + gapMs, state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }

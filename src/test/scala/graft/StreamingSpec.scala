@@ -166,6 +166,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count(_._3) == 1 && rows.find(_._3).get._2 == 2)
   }
 
+  test("stateful dedup survives a batch spanning far more event time than the gap") {
+    // regression: a wide batch (backfill shape) advances the watermark past
+    // old conversations' natural close time; the timeout must clamp to
+    // watermark+1 instead of throwing "Timeout timestamp cannot be earlier
+    // than the current watermark".
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val q = DedupState.dedup(spark, mem.toDS(), "1 minute", "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_wide").start()
+    def t(c: String, i: Int, sec: Long) = Turn(c, i, "user", s"m$i", null, ts(sec))
+    // one batch spanning ~3 years of event time across conversations
+    mem.addData(t("W_OLD", 0, 0), t("W_NEW", 0, 94608000L))
+    q.processAllAvailable()
+    // next batch: W_OLD's close time is far behind the watermark now
+    mem.addData(t("W_NEW", 1, 94608010L))
+    q.processAllAvailable()
+    mem.addData(t("W_NEW", 2, 94608020L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_wide").select("conv_id", "turn_idx").collect()
+    assert(rows.length == 4, rows.mkString(","))
+  }
+
   test("stateful dedup runs on the RocksDB state store provider") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
