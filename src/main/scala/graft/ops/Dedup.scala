@@ -38,16 +38,17 @@ object Dedup {
   // ------------------------------------------------------------------ exact
 
   /** Exact dedup on md5 of whitespace-normalized lowercase text: keeps the
-    * smallest doc_id of each duplicate group. At scale this is one
-    * map-side hash + one shuffle on the 128-bit digest (not the text).
+    * smallest doc_id of each duplicate group. At scale this is map-side
+    * hashing + exchanges keyed on the 128-bit digest (never the text):
+    * a hash groupBy for the group minimum and a digest-keyed join back —
+    * no window, no sort (a window over text_hash forces a full sort of
+    * every row by digest).
     */
   def exact(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    docs
-      .withColumn("text_hash", md5(norm))
-      .withColumn("keep_id",
-        min("doc_id").over(org.apache.spark.sql.expressions.Window
-          .partitionBy("text_hash")))
+    val hashed = docs.select(col("doc_id"), md5(norm).as("text_hash"))
+    val keep = hashed.groupBy("text_hash").agg(min("doc_id").as("keep_id"))
+    hashed.join(keep, "text_hash")
       .select(col("doc_id"), col("text_hash"), col("keep_id"),
         (col("doc_id") === col("keep_id")).as("keep"))
   }
