@@ -547,10 +547,13 @@ ORDER BY c_custkey"""
     */
   val asofJoin: String = """
 SELECT p.event_id, p.user_id, p.ts, p.value,
-       c.event_id AS r_event_id, c.ts AS r_ts, c.value AS r_value
+       c2.event_id AS r_event_id, c2.ts AS r_ts, c2.value AS r_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
+JOIN (SELECT * FROM events WHERE event_type = 'click') c2
+  ON c2.user_id = p.user_id AND c2.ts = c.ts
+QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY c2.event_id DESC) = 1
 ORDER BY p.event_id"""
 
   // ------------------------------------- dump-referencing verify oracles
@@ -660,4 +663,82 @@ SELECT q_id, vec_id, cos, rank FROM (
   FROM scored
 ) WHERE rank <= 10
 ORDER BY q_id, rank"""
+
+  // -------- multimodal_features: full re-derivation of the synth+extract
+  // chain (Multimodal.scala). The payload is a splitmix64 byte stream of
+  // (doc_id, n_chars); checksum is a wrapping ck*31+b Long fold; each
+  // feature lane is a float32 accumulation of byte/255.0f in byte order.
+  // All three are re-derived in DuckDB: splitmix64 via HUGEINT mod-2^64
+  // arithmetic (the 64x64 multiply split 32/32 so the product never
+  // overflows the 128-bit HUGEINT), the byte stream via a recursive CTE
+  // over 8-byte blocks, the float32 sums via list_reduce with a FLOAT cast
+  // per step — bit-identical to the JVM on every row.
+
+  private val P64 = "CAST('18446744073709551616' AS HUGEINT)"
+  private val P32 = "CAST('4294967296' AS HUGEINT)"
+
+  /** (a * c) mod 2^64 for a in [0,2^64), constant c, without overflowing
+    * HUGEINT: split a into hi/lo 32-bit halves.
+    */
+  private def mul64(a: String, c: String): String =
+    s"((((($a) >> 32) * CAST('$c' AS HUGEINT)) % $P32) * $P32 + " +
+      s"(($a) & CAST('4294967295' AS HUGEINT)) * CAST('$c' AS HUGEINT)) % $P64"
+
+  /** splitmix64 `mix` (TranscriptGen.mix) as a lateral-alias column chain:
+    * emits aliased steps `<pre>z1..<pre>out`; the caller selects
+    * `<pre>out`. Constants are the unsigned decimal forms of
+    * 0x9e3779b97f4a7c15 / 0xbf58476d1ce4e5b9 / 0x94d049bb133111eb.
+    */
+  private def mixCols(pre: String, zin: String): String = s"""
+      (($zin) + CAST('11400714819323198485' AS HUGEINT)) % $P64 AS ${pre}z1,
+      xor(${pre}z1, ${pre}z1 >> 30) AS ${pre}x1,
+      ${mul64(pre + "x1", "13787848793156543929")} AS ${pre}z2,
+      xor(${pre}z2, ${pre}z2 >> 27) AS ${pre}x2,
+      ${mul64(pre + "x2", "10723151780598845931")} AS ${pre}z3,
+      xor(${pre}z3, ${pre}z3 >> 31) AS ${pre}out"""
+
+  val multimodalFeatures: String = s"""
+WITH RECURSIVE
+p AS (SELECT doc_id, CAST(64 + (n_chars % 192) AS INT) AS len,
+        CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS media_type
+      FROM documents),
+seed AS (
+  SELECT doc_id, len, ${mixCols("a_", "CAST(doc_id AS HUGEINT)")}
+  FROM p
+),
+blocks AS (
+  SELECT doc_id, len, 0 AS k, b_out AS h FROM (
+    SELECT doc_id, len, ${mixCols("b_", "a_out")} FROM seed)
+  UNION ALL
+  SELECT doc_id, len, k + 1, c_out AS h FROM (
+    SELECT doc_id, len, k, ${mixCols("c_", "h + CAST((k+1)*8 AS HUGEINT)")}
+    FROM blocks WHERE (k+1)*8 < len)
+),
+bytes AS (
+  SELECT b.doc_id, b.k*8 + u.j AS i,
+         CAST((b.h >> (u.j*8)) & CAST(255 AS HUGEINT) AS INT) AS byte
+  FROM blocks b CROSS JOIN (SELECT unnest(generate_series(0,7)) AS j) u
+  WHERE b.k*8 + u.j < b.len
+),
+feat AS (
+  SELECT doc_id, CAST(i % 16 AS INT) AS lane,
+    list_reduce(list_prepend(CAST(0.0 AS FLOAT),
+        list(CAST(CAST(byte AS FLOAT)/CAST(255.0 AS FLOAT) AS FLOAT) ORDER BY i)),
+      (a, x) -> CAST(a + x AS FLOAT)) AS v
+  FROM bytes GROUP BY doc_id, i % 16
+),
+ck AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(CAST(0 AS HUGEINT), list(CAST(byte AS HUGEINT) ORDER BY i)),
+      (a, x) -> (a*31 + x) % $P64) AS cku
+  FROM bytes GROUP BY doc_id
+)
+SELECT p.doc_id, p.media_type, p.len AS n_bytes,
+  CAST(CASE WHEN ck.cku >= CAST('9223372036854775808' AS HUGEINT)
+       THEN ck.cku - $P64 ELSE ck.cku END AS BIGINT) AS checksum,
+  ${(0 until 16).map(j =>
+      s"CAST(max(CASE WHEN f.lane = $j THEN f.v END) AS DOUBLE) AS f$j").mkString(",\n  ")}
+FROM p JOIN ck ON ck.doc_id = p.doc_id JOIN feat f ON f.doc_id = p.doc_id
+GROUP BY p.doc_id, p.media_type, p.len, ck.cku
+ORDER BY p.doc_id"""
 }

@@ -122,7 +122,8 @@ object SparkEntry {
         ev.filter(col("event_type") === "purchase")
           .select("event_id", "user_id", "ts", "value"),
         ev.filter(col("event_type") === "click"),
-        key = "user_id", ts = "ts", rightCols = Seq("event_id", "ts", "value"))
+        key = "user_id", ts = "ts", rightCols = Seq("event_id", "ts", "value"),
+        tieBreak = Some("event_id"))
         .orderBy("event_id")
     }),
     // ----- training-data pipeline ops (documents / embeddings tables) -----
@@ -175,15 +176,19 @@ object SparkEntry {
       graft.ops.Similarity.lshCosinePairs(
         s.read.parquet(s"$dir/embeddings.parquet"), planes = 8, threshold = 0.35)
         .orderBy("vec_a", "vec_b")),
-    "multimodal_features" -> ((s, dir) => { // rows-only: stubbed decoder
+    "multimodal_features" -> ((s, dir) => { // decoder is the documented
+      // stub, but checksum + every feature lane are pure splitmix64/f32
+      // functions of (doc_id, n_chars) and the oracle re-derives them all
+      // in DuckDB (HUGEINT mod-2^64 splitmix64 + float32 list_reduce).
+      // Features emit as 16 scalar double columns (a raw array<float>
+      // crashes the driver's pandas sort).
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      graft.ops.Multimodal.extractFeatures(s,
+      val feats = graft.ops.Multimodal.extractFeatures(s,
         graft.ops.Multimodal.synthesize(s, docs)).toDF()
-        // the raw array<float> crashes the driver's pandas sort; emit a
-        // deterministic scalar digest of the vector instead
-        .withColumn("feat_digest", xxhash64(concat_ws(",",
-          transform(col("features"), f => format_string("%.4f", f.cast("double"))))))
-        .drop("features")
+      feats.select(
+        col("doc_id") +: col("media_type") +: col("n_bytes") +: col("checksum") +:
+          (0 until graft.ops.Multimodal.FeatureDim).map(j =>
+            element_at(col("features"), j + 1).cast("double").as(s"f$j")): _*)
         .orderBy("doc_id")
     }),
     "multimodal_meta" -> ((s, dir) => { // metadata plumbing is oracle-
@@ -246,6 +251,7 @@ object SparkEntry {
     "doc_fingerprint" -> OracleSql.docFingerprint,
     "cosine_topk" -> OracleSql.cosineTopK,
     "multimodal_meta" -> OracleSql.multimodalMeta,
+    "multimodal_features" -> OracleSql.multimodalFeatures,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

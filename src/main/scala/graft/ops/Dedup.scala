@@ -48,7 +48,11 @@ object Dedup {
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
     val hashed = docs.select(col("doc_id"), md5(norm).as("text_hash"))
     val keep = hashed.groupBy("text_hash").agg(min("doc_id").as("keep_id"))
-    hashed.join(keep, "text_hash")
+    // null-SAFE join key: null-text docs hash to a null key and form their
+    // own duplicate group (matching the oracle's PARTITION BY window, which
+    // groups NULLs) instead of being silently dropped by an inner join.
+    hashed.join(keep, hashed("text_hash") <=> keep("text_hash"))
+      .drop(keep("text_hash"))
       .select(col("doc_id"), col("text_hash"), col("keep_id"),
         (col("doc_id") === col("keep_id")).as("keep"))
   }

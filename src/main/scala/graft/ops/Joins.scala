@@ -100,15 +100,20 @@ object Joins {
     * PRECEDING)` — a single exchange on `key`, one sort, O(n) merge.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-      rightCols: Seq[String], prefix: String = "r_"): DataFrame = {
+      rightCols: Seq[String], prefix: String = "r_",
+      tieBreak: Option[String] = None): DataFrame = {
     val r = right.select(
       col(key) +: col(ts) +:
         struct(rightCols.map(col): _*).as("_r") +: Nil: _*)
       .withColumn("_side", lit(0))
     val l = left.withColumn("_side", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // deterministic tiebreak among right rows sharing (key, ts): order by
+    // the caller-named right column so `last` always picks its maximum —
+    // without it the pick among same-instant right rows is plan-dependent
+    val tieOrder = tieBreak.toSeq.map(c => col("_r").getField(c).asc_nulls_first)
     val w = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("_side").asc)
+      .orderBy(col(ts).asc +: col("_side").asc +: tieOrder: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val flat = rightCols.map(c => col(s"_asof.$c").as(s"$prefix$c"))
     unioned

@@ -42,6 +42,11 @@ object DedupState {
     import spark.implicits._
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
       org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    // month-bearing gaps have no fixed millisecond length and would
+    // silently become 0 ms (every conversation closing at the next
+    // watermark) — reject them up front
+    require(iv.months == 0,
+      s"dedup gap must be day/time-based, got month-bearing interval '$gap'")
     val gapMs = iv.days * 86400000L + iv.microseconds / 1000L
     turns
       .withWatermark("ts", watermark)
