@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.fixtures.TranscriptGen
 
@@ -138,8 +138,12 @@ object Bench {
     // that scheduler overhead is noise, short enough that an interleaved
     // pair fits inside one host-noise window.
     val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "16800000").toLong
-    val nPairs = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAIRS", "4").toInt
-    val decSamples = sys.env.getOrElse("SPARK_GRAFT_SCALING_SAMPLES", "3").toInt
+    // 5 interleaved (low,high) rounds of min-of-2 each: with the adjacent
+    // pairing below that is 9 gate pairs — the host's multi-minute CPU-steal
+    // windows (documented BENCH/BASELINE.md) poison at most 2-3 adjacent
+    // pairs, which a 9-pair median absorbs; 4 rounds of min-of-3 did not.
+    val nPairs = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAIRS", "5").toInt
+    val decSamples = sys.env.getOrElse("SPARK_GRAFT_SCALING_SAMPLES", "2").toInt
     // 256 files ≈ 5.5 MB each: one parquet row group per file, so the task
     // count is the FILE count — 16 waves at 16 cores vs 3.6 waves when the
     // corpus was 64×22MB (wave quantization taxed only the high phase,
@@ -187,8 +191,16 @@ object Bench {
     case class ScalingResult(rows: Long, pairs: Seq[(Double, Double, Double)],
         fastPairs: Seq[(Double, Double, Double)], runsJson: String,
         realization: String, lowLabel: String, highLabel: String)
-    def mkPairs(lows: Seq[Double], highs: Seq[Double], factor: Double) =
-      lows.zip(highs).map { case (lo, hi) => (lo, hi, (hi / lo) / factor) }
+    // ALL time-adjacent (low, high) pairings from the interleaved sequence
+    // low,high,low,high,…: (low_i, high_i) and (low_{i+1}, high_i) — 2n-1
+    // pairs from the same runs, so a single host-noise window poisons at
+    // most two adjacent pairs and the MEDIAN gate survives it (same honest
+    // data, denser pairing).
+    def mkPairs(lows: Seq[Double], highs: Seq[Double], factor: Double) = {
+      val fwd = lows.zip(highs)
+      val bwd = lows.drop(1).zip(highs)
+      (fwd ++ bwd).map { case (lo, hi) => (lo, hi, (hi / lo) / factor) }
+    }
     val sc: ScalingResult = clusterRuns match {
       case Some(runs) =>
         val rows = runs.head._2._1
@@ -227,21 +239,29 @@ object Bench {
     }
     val rows = sc.rows
     // best time-adjacent pair; median also reported for the skeptical reader
+    // GATE metric = the MEDIAN time-adjacent pair (host noise can only
+    // hurt a pair, but picking the max of 4 pairs biases the gate upward;
+    // the best pair is reported strictly as a secondary diagnostic).
+    val sortedPairs = sc.pairs.sortBy(_._3)
+    val medianPair = sortedPairs(sortedPairs.size / 2)
     val best = sc.pairs.maxBy(_._3)
-    val effSorted = sc.pairs.map(_._3).sorted
-    val effMedian = effSorted(effSorted.size / 2)
-    val eff = best._3
-    val valueTps = best._2 // decide turns/s at the high size, SAME pair as eff
+    val effMedian = medianPair._3
+    val effBest = best._3
+    val valueTps = medianPair._2 // decide turns/s at high size, SAME pair as the gate
     val fastEffBest = sc.fastPairs.map(_._3).max
-    System.err.println(f"[bench] scaling: decide efficiency best $eff%.3f median $effMedian%.3f " +
-      f"(${best._1}%.0f → ${best._2}%.0f turns/s); fast efficiency best $fastEffBest%.3f")
+    System.err.println(f"[bench] scaling: decide efficiency median $effMedian%.3f (gate) best $effBest%.3f " +
+      f"(${medianPair._1}%.0f → ${medianPair._2}%.0f turns/s); fast efficiency best $fastEffBest%.3f")
     // reference point: the whole box through one JVM (headline throughput)
     val local32 = try {
       val (_, dec32, fast32) = runThreadChild(cpus, corpus, 1, 1)
       Some((rows / dec32.min, rows / fast32.min))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] local32 reference failed: $e"); None }
-    val fastBest = math.max(valueTps, local32.map(_._2).getOrElse(0.0))
+    // fast throughput comes ONLY from fast-formulation samples (pair highs
+    // + the local[32] fast run) — never a decide number under a fast label
+    val fastCandidates = sc.fastPairs.map(_._2) ++ local32.map(_._2).toSeq
+    val fastBest: Option[Double] =
+      if (fastCandidates.nonEmpty) Some(fastCandidates.max) else None
 
     // ---- phase 2: headline per-query timings at `cpus` -------------------
     val spark = session(cpus)
@@ -261,71 +281,126 @@ object Bench {
       name -> sec
     }
     // ---- phase 3: streaming end-to-end (source → validate → exactly-once
-    // 3-way sink) turns/sec over the same corpus, stateless path ----------
-    val streamTps = try {
-      val outDir = java.nio.file.Files.createTempDirectory("graft_bench_sink").toString
-      val ckDir = java.nio.file.Files.createTempDirectory("graft_bench_ck").toString
+    // 3-way sink) turns/sec. Stateless and stateful (conv_id-keyed
+    // flatMapGroupsWithState on RocksDB) phases run INTERLEAVED, two
+    // samples each (SL,SF,SL,SF) and each reports its best — same noise
+    // protocol as scaling, so a single host CPU-steal spike cannot poison
+    // one phase end-to-end (round 2 recorded stateless at half its
+    // stateful sibling exactly that way).
+    def streamRun(withDedup: Boolean): Double = {
+      val tag = if (withDedup) "stateful" else "stateless"
+      val outDir = java.nio.file.Files.createTempDirectory(s"graft_bench_sink_$tag").toString
+      val ckDir = java.nio.file.Files.createTempDirectory(s"graft_bench_ck_$tag").toString
+      if (withDedup)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val cfg = graft.streaming.StreamValidate.Config(
-        corpus, outDir, ckDir, withDedup = false, maxFilesPerTrigger = 32,
-        availableNow = true)
-      System.err.println(s"[bench] streaming e2e over $rows rows...")
+        corpus, outDir, ckDir, withDedup = withDedup,
+        maxFilesPerTrigger = if (withDedup) 64 else 32, availableNow = true)
+      System.err.println(s"[bench] $tag streaming e2e over $rows rows...")
       val t0 = System.nanoTime()
       val q = graft.streaming.StreamValidate.start(spark, cfg, TranscriptGen.catalog)
       q.awaitTermination(); q.stop()
       val sec = (System.nanoTime() - t0) / 1e9
-      // clean the multi-GB sink output
       import scala.reflect.io.Directory
       new Directory(new java.io.File(outDir)).deleteRecursively()
       new Directory(new java.io.File(ckDir)).deleteRecursively()
-      System.err.println(s"[bench] streaming e2e: $sec s (${rows / sec} turns/s)")
+      System.err.println(s"[bench] $tag streaming e2e: $sec s (${rows / sec} turns/s)")
       rows / sec
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] streaming e2e FAILED: $e"); -1.0
     }
-    // ---- phase 3b: STATEFUL streaming e2e — conv_id-keyed dedup state
-    // (flatMapGroupsWithState, RocksDB store) in the same topology -------
-    val streamStatefulTps = try {
-      val outDir = java.nio.file.Files.createTempDirectory("graft_bench_sink_st").toString
-      val ckDir = java.nio.file.Files.createTempDirectory("graft_bench_ck_st").toString
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val cfg = graft.streaming.StreamValidate.Config(
-        corpus, outDir, ckDir, withDedup = true, maxFilesPerTrigger = 64,
-        availableNow = true)
-      System.err.println(s"[bench] stateful streaming e2e over $rows rows...")
-      val t0 = System.nanoTime()
-      val q = graft.streaming.StreamValidate.start(spark, cfg, TranscriptGen.catalog)
-      q.awaitTermination(); q.stop()
-      val sec = (System.nanoTime() - t0) / 1e9
-      import scala.reflect.io.Directory
-      new Directory(new java.io.File(outDir)).deleteRecursively()
-      new Directory(new java.io.File(ckDir)).deleteRecursively()
-      System.err.println(s"[bench] stateful streaming e2e: $sec s (${rows / sec} turns/s)")
-      rows / sec
+    val streamSamples: Seq[(String, Double)] = (1 to 2).flatMap { _ =>
+      Seq("stateless" -> (try streamRun(false) catch { case e: Throwable =>
+            System.err.println(s"[bench] stateless streaming FAILED: $e"); -1.0 }),
+        "stateful" -> (try streamRun(true) catch { case e: Throwable =>
+          System.err.println(s"[bench] stateful streaming FAILED: $e"); -1.0 }))
+    }
+    val streamTps = streamSamples.collect { case ("stateless", t) => t }.max
+    val streamStatefulTps = streamSamples.collect { case ("stateful", t) => t }.max
+
+    // ---- phase 4: ANN at a size where IVF should beat brute (the sf0.1
+    // embeddings table is 2k vectors — fixed overhead dominates; 100k x 64
+    // dims x 500 queries is where the nprobe/nlist candidate pruning pays)
+    val annN = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "100000").toInt
+    val (annBruteSec, annIvfSec, annRecall) = try {
+      val embDir = s"/root/repo/data/emb_bench_$annN"
+      if (!new java.io.File(s"$embDir/_GRAFT_READY").exists()) {
+        // deterministic synthetic embeddings with CLUSTER structure
+        // (256 centers + 25% noise): real embedding spaces cluster — that
+        // is the regime IVF exists for; uniform random vectors are the
+        // degenerate no-structure case where every probe set misses.
+        // All components are xxhash64-derived codegen columns, no driver loop.
+        def u(seed: Column, d: Column): Column =
+          (pmod(xxhash64(seed, d), lit(2001)) - 1000).cast("double") / 1000.0
+        spark.range(annN).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)),
+              d => u(concat(lit("c"), pmod(col("id"), lit(256))), d) +
+                u(col("id"), d) * 0.25).cast("array<float>").as("embedding"))
+          .repartition(32).write.mode("overwrite").parquet(s"$embDir/embeddings.parquet")
+        new java.io.File(embDir, "_GRAFT_READY").createNewFile()
+      }
+      val emb = spark.read.parquet(s"$embDir/embeddings.parquet")
+      val bruteOut = graft.ops.Similarity.bruteTopK(emb, k = 10, stride = 200)
+      val ivfOut = graft.ops.Similarity.ivfTopK(emb, k = 10, stride = 200,
+        nlist = 64, nprobe = 8)
+      val bSec = timeIt(bruteOut.count())
+      val iSec = timeIt(ivfOut.count())
+      // recall@10 of IVF against the exact brute-force ground truth
+      val hits = ivfOut.select("q_id", "vec_id")
+        .join(bruteOut.select("q_id", "vec_id"), Seq("q_id", "vec_id")).count()
+      val recall = hits.toDouble / (annN.toLong / 200 * 10)
+      System.err.println(f"[bench] ann $annN: brute $bSec%.2f s, ivf $iSec%.2f s, recall@10 $recall%.3f")
+      (bSec, iSec, recall)
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] stateful streaming e2e FAILED: $e"); -1.0
+      System.err.println(s"[bench] ann bench FAILED: $e"); (-1.0, -1.0, -1.0)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // ---- emit: FULL record to files, COMPACT headline as the final line.
+    // The driver's tail capture is 2,000 chars — rounds 1+2 both measured a
+    // passing gate that never machine-landed (r1: sbt prefix; r2: a
+    // 3,818-byte line truncated mid-array). The final line now carries only
+    // the headline numbers (query secs rounded to ms) and is length-checked;
+    // every per-sample array lives in data/bench_last.json (mirrored to
+    // BENCH/bench_r3_record.json for the round's record).
+    def r3(x: Double): String = if (x < 0) "-1" else f"$x%.3f"
+    def r4(x: Double): String = f"$x%.4f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     def pairsJson(ps: Seq[(Double, Double, Double)]) = ps.map { case (lo, hi, e) =>
-      s"""{"low_tps":$lo,"high_tps":$hi,"efficiency":$e}"""
+      s"""{"low_tps":${lo.round},"high_tps":${hi.round},"efficiency":${r4(e)}}"""
     }.mkString("[", ",", "]")
     val local32Json = local32
-      .map { case (d, f) => s""","local32_decide_tps":$d,"local32_fast_tps":$f""" }
+      .map { case (d, f) => s""","local32_decide_tps":${d.round},"local32_fast_tps":${f.round}""" }
       .getOrElse("")
     val scalingJson =
       s"""{"realization":"${sc.realization}","low":"${sc.lowLabel}","high":"${sc.highLabel}","rows":$rows,"runs":${sc.runsJson},""" +
-        s""""pairs":${pairsJson(sc.pairs)},"efficiency":$eff,"efficiency_median":$effMedian,""" +
-        s""""fast_pairs":${pairsJson(sc.fastPairs)},"fast_efficiency":$fastEffBest$local32Json,""" +
-        s""""protocol":"interleaved fresh child JVMs low,high,low,high,…; min-of-$decSamples per child; efficiency = best time-adjacent pair (per-sample arrays above expose any host-noise-poisoned phase)"}"""
-    val json =
-      s"""{"metric":"validated_turns_per_sec","value":$valueTps,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$total,"scaling":$scalingJson,"fast_turns_per_sec":$fastBest,"streaming_turns_per_sec":$streamTps,"streaming_stateful_turns_per_sec":$streamStatefulTps,"headline_cpus":$cpus}"""
+        s""""pairs":${pairsJson(sc.pairs)},"efficiency":${r4(effMedian)},"efficiency_best":${r4(effBest)},""" +
+        s""""fast_pairs":${pairsJson(sc.fastPairs)},"fast_efficiency":${r4(fastEffBest)}$local32Json,""" +
+        s""""protocol":"interleaved fresh child JVMs low,high,low,high,…; min-of-$decSamples per child; gate efficiency = MEDIAN time-adjacent pair (best reported as diagnostic; per-sample arrays expose any host-noise-poisoned phase)"}"""
+    val streamJson = streamSamples.map { case (t, v) => s"""{"$t":${v.round}}""" }
+      .mkString("[", ",", "]")
+    val annJson =
+      s"""{"n":$annN,"queries":${annN / 200},"brute_sec":${r3(annBruteSec)},"ivf_sec":${r3(annIvfSec)},"recall_at_10":${r3(annRecall)}}"""
+    val fastJson = fastBest.map(_.round.toString).getOrElse("null")
+    val headline =
+      s"""{"metric":"validated_turns_per_sec","value":${valueTps.round},"unit":"turns/sec","sf":"$sfDir","headline_cpus":$cpus,""" +
+        s""""efficiency":${r4(effMedian)},"efficiency_best":${r4(effBest)},"fast_turns_per_sec":$fastJson,""" +
+        s""""streaming_turns_per_sec":${streamTps.round},"streaming_stateful_turns_per_sec":${streamStatefulTps.round},""" +
+        s""""ann100k_brute_sec":${r3(annBruteSec)},"ann100k_ivf_sec":${r3(annIvfSec)},"ann100k_recall":${r3(annRecall)},""" +
+        s""""total_query_sec":${r3(total)},"queries":$qs}"""
+    // belt-and-braces: stay comfortably under the driver's 2,000-char tail
+    val finalLine = if (headline.length <= 1900) headline
+      else headline.replaceAll(""","queries":\{.*\}""", "}")
+    val fullJson =
+      s"""{"headline":$headline,"scaling":$scalingJson,"streaming_samples":$streamJson,"ann":$annJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/data/bench_last.json"),
-      json.getBytes("UTF-8"))
+      fullJson.getBytes("UTF-8"))
+    new java.io.File("/root/repo/BENCH").mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH/bench_r3_record.json"),
+      fullJson.getBytes("UTF-8"))
+    System.err.println(s"[bench] final line: ${finalLine.length} bytes")
     spark.stop()
-    // FINAL stdout line, raw JSON (outputStrategy=StdoutOutput: unprefixed)
-    println(json)
+    // FINAL stdout line, raw compact JSON (outputStrategy=StdoutOutput)
+    println(finalLine)
     System.out.flush()
   }
 }

@@ -525,6 +525,36 @@ SELECT d.conv_id, d.turn_idx, d.role, 'valid' AS decision, d.reason, d.uuid,
 FROM (${decisions(txDir)}) d
 ORDER BY d.conv_id, d.turn_idx"""
 
+  /** Q14-style part⋈lineitem: per-brand promo revenue share in a
+    * ship-date window.
+    */
+  val q14Join: String = """
+SELECT p_brand,
+  sum(CASE WHEN p_type = 'PROMO'
+      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) AS promo_revenue,
+  sum(l_extendedprice * (1 - l_discount)) AS total_revenue,
+  count(*) AS n_items,
+  100.0 * sum(CASE WHEN p_type = 'PROMO'
+      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+    / sum(l_extendedprice * (1 - l_discount)) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+GROUP BY p_brand
+ORDER BY p_brand"""
+
+  /** Typed-Aggregator UDAF oracle: DuckDB's native quantile_cont is the
+    * independent formulation of ExactQuantile's interpolation.
+    */
+  def udafStats(txDir: String): String = s"""
+SELECT conv_id, count(*) AS n_texts,
+  quantile_cont(length(text), 0.5) AS median_len,
+  quantile_cont(length(text), 0.9) AS p90_len
+FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
+WHERE text IS NOT NULL
+GROUP BY conv_id
+ORDER BY conv_id"""
+
   /** left_semi: orders having at least one lineitem. */
   val semiJoin: String = """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -103,6 +103,25 @@ object SparkEntry {
         s.read.parquet(s"$dir/region.parquet"),
         regionName = "ASIA", yearStart = "1996-01-01", yearEnd = "1997-01-01")
         .orderBy("n_name")),
+    "q14_join" -> ((s, dir) => // part⋈lineitem: per-brand promo share
+      graft.ops.Joins.promoRevenue(
+        s.read.parquet(s"$dir/part.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        from = "1997-01-01", to = "1997-04-01")
+        .orderBy("p_brand")),
+    "udaf_stats" -> ((s, dir) => { // typed Aggregator UDAF (SURVEY §2.4):
+      // exact per-conversation text-length quantiles, quantile_cont
+      // semantics so the DuckDB oracle doubles are bit-comparable
+      val med = udaf(graft.functions.ExactQuantile(0.5))
+      val p90 = udaf(graft.functions.ExactQuantile(0.9))
+      tx(s, dir).filter(col("text").isNotNull)
+        .select(col("conv_id"), length(col("text")).cast("long").as("len"))
+        .groupBy("conv_id")
+        .agg(count(lit(1)).as("n_texts"),
+          med(col("len")).as("median_len"),
+          p90(col("len")).as("p90_len"))
+        .orderBy("conv_id")
+    }),
     "validate_promoted" -> ((s, dir) => // V13/Q5: blacklist off promotes
       ValidationPipeline.decide(s, tx(s, dir), TranscriptGen.catalog,
         enableBlacklist = false).toDF()
@@ -233,6 +252,8 @@ object SparkEntry {
     "set_ops" -> OracleSql.setOps(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "q3_join" -> OracleSql.q3Join,
     "q5_join" -> OracleSql.q5Join,
+    "q14_join" -> OracleSql.q14Join,
+    "udaf_stats" -> OracleSql.udafStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "validate_promoted" -> OracleSql.decisionsPromoted(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "semi_join" -> OracleSql.semiJoin,
     "anti_join" -> OracleSql.antiJoin,

@@ -44,6 +44,27 @@ object VectorKernels {
     while (i < nb) { val x = b.getDouble(i); dbb += x * x; i += 1 }
     dab / (math.sqrt(daa) * math.sqrt(dbb))
   }
+
+  /** Index of the row of matrix `m` (array<array<double>>) with the
+    * largest dot(v, m[i]); first index wins ties. One small loop nest —
+    * the codegen'd form stays far under both Janino's and HotSpot's
+    * method limits, unlike unrolling one dot-expression per centroid
+    * (64 unrolled literal dots either fail Janino outright or compile
+    * into a method too large for the JIT, which is 8x slower than
+    * interpreted Catalyst — measured, see Similarity.ivfTopK).
+    */
+  def argmaxDot(v: ArrayData, m: ArrayData): Int = {
+    val k = m.numElements()
+    var best = -1
+    var bestS = Double.NegativeInfinity
+    var i = 0
+    while (i < k) {
+      val s = dot(v, m.getArray(i))
+      if (s > bestS) { bestS = s; best = i }
+      i += 1
+    }
+    best
+  }
 }
 
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
@@ -68,6 +89,17 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override def prettyName: String = "cosine_sim"
 }
 
+case class ArgmaxDotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.argmaxDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.argmaxDot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArgmaxDotExpr =
+    copy(l, r)
+  override def prettyName: String = "argmax_dot"
+}
+
 object VectorExpr {
   import org.apache.spark.sql.GraftColumnBridge
   def dot_f64(a: Column, b: Column): Column =
@@ -76,6 +108,9 @@ object VectorExpr {
   def cosine_sim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSim(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def argmax_dot(v: Column, m: Column): Column =
+    GraftColumnBridge.column(ArgmaxDotExpr(
+      GraftColumnBridge.expression(v), GraftColumnBridge.expression(m)))
 
   /** SQL registration: `SELECT cosine_sim(a, b) FROM …`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -83,5 +118,7 @@ object VectorExpr {
       "dot_f64", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "argmax_dot", exprs => ArgmaxDotExpr(exprs(0), exprs(1)), "built-in")
   }
 }

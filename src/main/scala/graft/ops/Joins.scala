@@ -89,6 +89,33 @@ object Joins {
         customer("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
 
+  /** TPC-H Q14-flavored: per-brand promo revenue share for lineitems
+    * shipped inside [from, to) — the part⋈lineitem join shape (the one
+    * shipped table no other query touched). At 100 TB lineitem is the big
+    * probe side and part the dimension: the ship-date filter prunes
+    * lineitem at the scan, both sides project to 3 columns, and part
+    * broadcasts when it fits (it does at every test SF — plan-pinned in
+    * JoinsSpec); past the broadcast threshold it's a keyed shuffle join on
+    * l_partkey, never the other way around.
+    */
+  def promoRevenue(part: DataFrame, lineitem: DataFrame,
+      from: String, to: String): DataFrame = {
+    val l = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(to).cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val p = part.select("p_partkey", "p_brand", "p_type")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))).as("promo_revenue"),
+        sum(rev).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .withColumn("promo_share",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+  }
+
   /** Distributed as-of join: for each left row, the latest right row with
     * `right.ts <= left.ts` on the same key (DuckDB `ASOF JOIN` semantics,
     * inclusive). Right payload columns come back `prefix`-renamed; rows

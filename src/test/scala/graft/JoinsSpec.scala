@@ -79,6 +79,23 @@ class JoinsSpec extends SparkSpec {
     assert(anti.queryExecution.executedPlan.toString.contains("LeftAnti"))
   }
 
+  test("q14 promo revenue: part broadcasts, ship-date filter reaches the scan") {
+    val out = Joins.promoRevenue(
+      spark.read.parquet("/root/testdata/sf0.001/part.parquet"),
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+      "1997-01-01", "1997-04-01")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // promo_share is a percentage of total revenue
+    rows.foreach { r =>
+      val share = r.getAs[Double]("promo_share")
+      assert(share >= 0.0 && share <= 100.0, r.toString)
+    }
+    val s = out.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s.take(1500)) // part is the dim side
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate)"), s.take(2000))
+  }
+
   test("q3 join falls back to sort-merge when broadcast is disabled (SMJ path)") {
     val orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

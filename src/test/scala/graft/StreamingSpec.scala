@@ -305,6 +305,55 @@ class StreamingSpec extends SparkSpec {
     assert(joined == Set(("J1", 0, 1), ("J1", 2, 3)))
   }
 
+  // ------------------------------------------------------ kill-and-resume
+
+  test("chaos: kill mid-corpus + resume from checkpoint equals the uninterrupted run (1M rows, stateful)") {
+    val in = tmp("in_chaos")
+    TranscriptGen.turnsDs(spark, 100000, 10, 0).repartition(16)
+      .write.mode("append").parquet(in)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // watermark >> corpus span so late-drop behavior cannot depend on
+      // batch boundaries — the comparison isolates exactly-once delivery
+      val outA = tmp("out_chaos_a"); val ckA = tmp("ck_chaos_a")
+      val cfgA = StreamValidate.Config(in, outA, ckA, withDedup = true,
+        watermark = "3650 days", maxFilesPerTrigger = 4, availableNow = true)
+      val qA = StreamValidate.start(spark, cfgA, TranscriptGen.catalog)
+      qA.awaitTermination(); qA.stop()
+
+      // chaos run: same topology, killed after >= 2 committed batches with
+      // the 3rd in flight (its write may be torn; the manifest suppresses
+      // or repairs it on restart)
+      val outB = tmp("out_chaos_b"); val ckB = tmp("ck_chaos_b")
+      val cfgB = cfgA.copy(outDir = outB, checkpointDir = ckB, availableNow = false)
+      val sinkB = new ExactlyOnceSink(outB)
+      val qB1 = StreamValidate.start(spark, cfgB, TranscriptGen.catalog)
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      while (sinkB.committedBatches().size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      qB1.stop()
+      assert(sinkB.committedBatches().size >= 2, "no committed progress before the kill")
+      val qB2 = StreamValidate.start(spark, cfgB.copy(availableNow = true),
+        TranscriptGen.catalog)
+      qB2.awaitTermination(); qB2.stop()
+
+      // committed output equals the uninterrupted run's, row for row
+      val sinkA = new ExactlyOnceSink(outA)
+      Seq("valid", "rejected", "webdata").foreach { table =>
+        val a = sinkA.read(spark, table).drop("batch_id")
+        val b = sinkB.read(spark, table).drop("batch_id")
+        assert(a.count() == b.count(), s"$table row count differs")
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"$table content differs after kill+resume")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream join runs with bounded state (watermarked)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

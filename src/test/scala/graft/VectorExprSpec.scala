@@ -23,6 +23,27 @@ class VectorExprSpec extends SparkSpec {
     assert(both.count() > 0)
   }
 
+  test("argmax_dot over a centroid matrix == per-centroid dot argmax") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents: Seq[Seq[Double]] = base.limit(7).collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    val got = base.select(col("vec_id"),
+        graft.functions.VectorExpr.argmax_dot(col("v"), typedlit(cents)).as("i"))
+      .as[(Long, Int)].collect().toMap
+    // reference: unrolled per-centroid dot columns + driver-side argmax
+    val scored = base.select(col("vec_id") +:
+        cents.zipWithIndex.map { case (c, i) =>
+          Similarity.dot(col("v"), typedlit(c)).as(s"s$i") }: _*)
+      .collect()
+    scored.foreach { r =>
+      val ss = (0 until cents.size).map(i => r.getDouble(i + 1))
+      assert(got(r.getLong(0)) == ss.indexOf(ss.max), s"vec ${r.getLong(0)}")
+    }
+    assert(scored.nonEmpty)
+  }
+
   test("vector expressions run inside whole-stage codegen via DataFrame and SQL") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val base = emb.select(col("embedding").cast("array<double>").as("v"))
