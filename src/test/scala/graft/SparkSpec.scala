@@ -13,6 +13,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // saveAsTable targets (BucketingSpec) land in tmp, not the repo
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .getOrCreate()
 
   /** Flatten an executed plan INCLUDING the interiors of AQE query stages
