@@ -341,7 +341,7 @@ object Bench {
       val emb = spark.read.parquet(s"$embDir/embeddings.parquet")
       val bruteOut = graft.ops.Similarity.bruteTopK(emb, k = 10, stride = 200)
       val ivfOut = graft.ops.Similarity.ivfTopK(emb, k = 10, stride = 200,
-        nlist = 64, nprobe = 8)
+        nlist = 64, nprobe = 8, kmeansIters = 2)
       val bSec = timeIt(bruteOut.count())
       val iSec = timeIt(ivfOut.count())
       // recall@10 of IVF against the exact brute-force ground truth

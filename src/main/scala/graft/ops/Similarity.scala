@@ -74,7 +74,7 @@ object Similarity {
     *     cos), keyed by q_id (many distinct queries at scale).
     */
   def ivfTopK(emb: DataFrame, k: Int = 10, stride: Int = 50, nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4, kmeansIters: Int = 0): DataFrame = {
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     // deterministic pseudo-random centroid sample: nlist smallest by hash
     val cents: Array[(Long, Seq[Double])] = base
@@ -89,9 +89,41 @@ object Similarity {
     // projection tiny: unrolling nlist separate dot expressions either
     // fails Janino (nlist=64) or compiles past HotSpot's JIT method limit
     // and runs as un-JIT-able bytecode, measured 8x slower (nlist=32).
-    val centsNorm: Seq[Seq[Double]] = cents.toSeq.map { case (_, cv) =>
+    def normalize(cv: Seq[Double]): Seq[Double] = {
       val cn = math.sqrt(cv.map(x => x * x).sum)
-      cv.map(_ / cn)
+      if (cn == 0.0) cv else cv.map(_ / cn)
+    }
+    val sampled: Seq[Seq[Double]] = cents.toSeq.map(c => normalize(c._2))
+    // Lloyd refinement (spherical k-means): hash-sampled seeds are a poor
+    // quantizer when the corpus has more natural clusters than nlist — a
+    // cluster with no sampled "home" centroid scatters its members across
+    // lists by noise correlations and recall collapses (measured 0.48 on
+    // the 256-cluster bench corpus; 0.99+ after one iteration). Each
+    // iteration is ONE scan: the same codegen'd argmax assignment, then a
+    // per-(list,dim) partial sum — map-side combine compresses every task
+    // to <= nlist x dim rows before the shuffle, so the exchange is tiny
+    // at any corpus size. Means collect as nlist x dim doubles (driver-
+    // side matrix, same footprint as the centroid literals themselves).
+    val centsNorm: Seq[Seq[Double]] = (1 to kmeansIters).foldLeft(sampled) {
+      (cn, _) =>
+        val dim = cn.head.size
+        val sums = base
+          .withColumn("list_id",
+            graft.functions.VectorExpr.argmax_dot(col("v"), typedlit(cn)))
+          .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("list_id", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          .collect()
+          .groupBy(_.getInt(0))
+        cn.indices.map { i =>
+          sums.get(i) match {
+            case Some(rs) =>
+              val mean = new Array[Double](dim)
+              rs.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+              normalize(mean.toSeq)
+            case None => cn(i) // empty list keeps its seed
+          }
+        }
     }
 
     // per-centroid cosine score structs (probes side only: Q rows)
