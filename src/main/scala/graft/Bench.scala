@@ -190,7 +190,8 @@ object Bench {
     // cluster adds bandwidth with every executor).
     case class ScalingResult(rows: Long, pairs: Seq[(Double, Double, Double)],
         fastPairs: Seq[(Double, Double, Double)], runsJson: String,
-        realization: String, lowLabel: String, highLabel: String)
+        realization: String, lowLabel: String, highLabel: String,
+        retried: Int = 0)
     // ALL time-adjacent (low, high) pairings from the interleaved sequence
     // low,high,low,high,…: (low_i, high_i) and (low_{i+1}, high_i) — 2n-1
     // pairs from the same runs, so a single host-noise window poisons at
@@ -202,7 +203,42 @@ object Bench {
       (fwd ++ bwd).map { case (lo, hi) => (lo, hi, (hi / lo) / factor) }
     }
     val sc: ScalingResult = clusterRuns match {
-      case Some(runs) =>
+      case Some(runs0) =>
+        // Adaptive de-noise: a child whose decide min is >1.25x the best
+        // min AT ITS LEVEL was sampled inside a host CPU-steal window
+        // (this host's documented failure mode — windows run minutes, so
+        // min-of-2 inside one window stays poisoned). Give the worst such
+        // child extra samples (MERGED into its sample set) and reassess,
+        // up to maxRetries extra children per phase. Steal noise is
+        // one-sided (it only slows), so min-of-more-samples approaches
+        // the noise-free time from above at BOTH levels with the same
+        // trigger: re-sampling a slow low LOWERS efficiency, a slow high
+        // RAISES it — the protocol cannot inflate beyond truth.
+        var runs = runs0.toVector
+        val maxRetries = sys.env.getOrElse("SPARK_GRAFT_SCALING_RETRIES", "4").toInt
+        var retried = 0
+        var converged = false
+        while (!converged && retried < maxRetries) {
+          val bestMin: Map[Int, Double] =
+            runs.groupBy(_._1).map { case (w, rs) => w -> rs.map(_._2._2.min).min }
+          runs.zipWithIndex
+            .filter { case ((w, (_, dec, _)), _) => dec.min > bestMin(w) * 1.25 }
+            .sortBy { case ((w, (_, dec, _)), _) => -(dec.min / bestMin(w)) }
+            .headOption match {
+            case Some(((w, (r, dec, fast)), i)) =>
+              System.err.println(f"[bench] re-sampling child seq=$i (${w}x$coresPer): " +
+                f"decide min ${dec.min}%.2f s vs level best ${bestMin(w)}%.2f s")
+              try {
+                val (_, dec2, fast2) = runClusterChild(w, coresPer, corpus, decSamples)
+                runs = runs.updated(i, (w, (r, dec ++ dec2, fast ++ fast2)))
+              } catch { case e: Throwable =>
+                System.err.println(s"[bench] re-sample failed (keeping samples): $e")
+                converged = true
+              }
+              retried += 1
+            case None => converged = true
+          }
+        }
         val rows = runs.head._2._1
         def tps(ss: Seq[Double]): Double = rows / ss.min
         val lows = runs.filter(_._1 == lowW).map(_._2)
@@ -216,7 +252,7 @@ object Bench {
         }.mkString("[", ",", "]")
         ScalingResult(rows, pairs, fastPairs, runsJson,
           "executors: local-cluster, separate executor JVMs pinned to their core budget, decide formulation (fast variant reported alongside)",
-          s"${lowW}x$coresPer", s"${highW}x$coresPer")
+          s"${lowW}x$coresPer", s"${highW}x$coresPer", retried)
       case None =>
         val lowC = 8
         val runs = (1 to nPairs).flatMap { _ =>
@@ -375,7 +411,7 @@ object Bench {
       s"""{"realization":"${sc.realization}","low":"${sc.lowLabel}","high":"${sc.highLabel}","rows":$rows,"runs":${sc.runsJson},""" +
         s""""pairs":${pairsJson(sc.pairs)},"efficiency":${r4(effMedian)},"efficiency_best":${r4(effBest)},""" +
         s""""fast_pairs":${pairsJson(sc.fastPairs)},"fast_efficiency":${r4(fastEffBest)}$local32Json,""" +
-        s""""protocol":"interleaved fresh child JVMs low,high,low,high,…; min-of-$decSamples per child; gate efficiency = MEDIAN time-adjacent pair (best reported as diagnostic; per-sample arrays expose any host-noise-poisoned phase)"}"""
+        s""""resampled_children":${sc.retried},"protocol":"interleaved fresh child JVMs low,high,low,high,…; min-of-$decSamples per child; steal-poisoned children (decide min >1.25x level best) get extra samples merged in, worst-first, bounded; gate efficiency = MEDIAN time-adjacent pair (best reported as diagnostic; per-sample arrays expose any host-noise-poisoned phase)"}"""
     val streamJson = streamSamples.map { case (t, v) => s"""{"$t":${v.round}}""" }
       .mkString("[", ",", "]")
     val annJson =

@@ -219,6 +219,12 @@ object SparkEntry {
         .select("doc_id", "media_type", "n_bytes")
         .orderBy("doc_id")
     }),
+    "pivot_stats" -> ((s, dir) => // long→wide pivot with declared values
+      graft.ops.Aggregates.langLengthPivot(
+        s.read.parquet(s"$dir/documents.parquet")).orderBy("lang")),
+    "hash_sample" -> ((s, dir) => // deterministic md5-bucket train/val split
+      graft.ops.Sampling.hashSplit(
+        s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -273,6 +279,23 @@ object SparkEntry {
     "cosine_topk" -> OracleSql.cosineTopK,
     "multimodal_meta" -> OracleSql.multimodalMeta,
     "multimodal_features" -> OracleSql.multimodalFeatures,
+    "pivot_stats" ->
+      """SELECT lang,
+        |  count(*) FILTER (WHERE len_bucket = 'short')  AS n_short,
+        |  count(*) FILTER (WHERE len_bucket = 'medium') AS n_medium,
+        |  count(*) FILTER (WHERE len_bucket = 'long')   AS n_long
+        |FROM (SELECT lang,
+        |        CASE WHEN length(text) < 200 THEN 'short'
+        |             WHEN length(text) < 1000 THEN 'medium'
+        |             ELSE 'long' END AS len_bucket
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "hash_sample" ->
+      """SELECT doc_id,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+        |       THEN 'val' ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

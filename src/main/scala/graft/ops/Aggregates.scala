@@ -95,4 +95,24 @@ object Aggregates {
       count(lit(1)).as("n"),
       countDistinct(col("conv_id")).as("n_convs"),
       approx_count_distinct(col("conv_id")).as("n_convs_approx"))
+
+  /** Pivot (long→wide reshape): per-language document counts by length
+    * bucket. With the pivot values DECLARED (not discovered), this is one
+    * hash aggregate with conditional counts — no extra pass to enumerate
+    * distinct values, no second shuffle; exactly the conditional-FILTER
+    * aggregation the DuckDB oracle states. Empty cells are 0, not null,
+    * to match SQL count semantics.
+    */
+  def langLengthPivot(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        when(length(col("text")) < 200, "short")
+          .when(length(col("text")) < 1000, "medium")
+          .otherwise("long").as("len_bucket"))
+      .groupBy("lang")
+      .pivot("len_bucket", Seq("short", "medium", "long"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("short", "medium", "long"))
+      .select(col("lang"), col("short").as("n_short"),
+        col("medium").as("n_medium"), col("long").as("n_long"))
 }

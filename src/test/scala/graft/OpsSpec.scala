@@ -180,4 +180,32 @@ class OpsSpec extends SparkSpec {
     // media types split as designed
     assert(media.filter(_.media_type == "audio").count() == docs.filter(col("doc_id") % 3 === 0).count())
   }
+
+  // --------------------------------------------------------- pivot / sampling
+
+  test("pivot: per-lang length buckets sum back to the corpus, no nulls") {
+    val p = graft.ops.Aggregates.langLengthPivot(docs)
+    val total = p.select((col("n_short") + col("n_medium") + col("n_long")).as("s"))
+      .agg(sum("s")).head().getLong(0)
+    assert(total == docs.count())
+    assert(p.filter(col("n_short").isNull || col("n_medium").isNull ||
+      col("n_long").isNull).count() == 0)
+    // declared pivot values → single aggregate, no second value-discovery job
+    assert(p.columns.toSeq == Seq("lang", "n_short", "n_medium", "n_long"))
+  }
+
+  test("hash split: deterministic, disjoint, ~5% validation fraction") {
+    val a = graft.ops.Sampling.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = graft.ops.Sampling.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b) // pure per-row function: stable across runs/parallelism
+    assert(a.size == docs.count())
+    val valFrac = a.values.count(_ == "val").toDouble / a.size
+    assert(valFrac > 0.005 && valFrac < 0.15, s"val fraction $valFrac")
+    // zero-shuffle plan: assignment is a single codegen'd projection
+    val plan = graft.ops.Sampling.hashSplit(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
 }

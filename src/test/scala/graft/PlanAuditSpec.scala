@@ -84,6 +84,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("Window"), s.take(2000))
   }
 
+  test("directory partition pruning: equality filter reads ONE partition's files") {
+    // Hive-style partition layout (the shape of a date-partitioned 100 TB
+    // corpus): an equality filter on the partition column must prune at
+    // file-listing time — PartitionFilters on the scan node and a runtime
+    // numFiles metric of a single partition, not a read-then-filter.
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    spark.range(1000)
+      .select(col("id"), (col("id") % 10).as("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("day") === 3).select("id")
+    val s = plan(q)
+    assert(s.contains("PartitionFilters: [isnotnull(day"),
+      s.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    // drive THIS QueryExecution (count() would plan and run a separate one)
+    q.queryExecution.toRdd.count()
+    val scan = flattenPlan(q.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val allFiles = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val readFiles = scan.metrics("numFiles").value
+    assert(readFiles < allFiles && readFiles >= 1,
+      s"expected pruned read, got $readFiles of $allFiles files")
+  }
+
   test("whole-stage codegen covers the stateless column stages") {
     val p = TranscriptGen.ensure(spark, "/root/testdata/sf0.001")
     val parsed = ValidationPipeline.parsed(TranscriptGen.readTranscripts(spark, p))
