@@ -344,7 +344,7 @@ object Bench {
       System.err.println(s"[bench] $tag streaming e2e: $sec s (${rows / sec} turns/s)")
       rows / sec
     }
-    val streamSamples: Seq[(String, Double)] = (1 to 2).flatMap { _ =>
+    val streamSamples: Seq[(String, Double)] = (1 to 3).flatMap { _ =>
       Seq("stateless" -> (try streamRun(false) catch { case e: Throwable =>
             System.err.println(s"[bench] stateless streaming FAILED: $e"); -1.0 }),
         "stateful" -> (try streamRun(true) catch { case e: Throwable =>
