@@ -289,6 +289,21 @@ FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
 GROUP BY ROLLUP(role, has_text)
 ORDER BY role NULLS FIRST, has_text NULLS FIRST, n"""
 
+  def turnLatency(txDir: String): String = s"""
+SELECT conv_id, turn_idx,
+  CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) AS latency_sec
+FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+ORDER BY conv_id, turn_idx"""
+
+  def rollingStats(txDir: String): String = s"""
+SELECT conv_id, turn_idx, len,
+  avg(len) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_avg_len
+FROM (SELECT conv_id, turn_idx, length(text) AS len
+      FROM read_parquet('$txDir/transcripts.parquet/*.parquet'))
+ORDER BY conv_id, turn_idx"""
+
   def topkConvs(txDir: String, k: Int): String = s"""
 WITH c AS (
   SELECT conv_id, count(*) AS n_turns

@@ -219,6 +219,12 @@ object SparkEntry {
         .select("doc_id", "media_type", "n_bytes")
         .orderBy("doc_id")
     }),
+    "turn_latency" -> ((s, dir) => // offset window fn (lag)
+      graft.ops.Aggregates.turnLatency(tx(s, dir))
+        .orderBy("conv_id", "turn_idx")),
+    "rolling_stats" -> ((s, dir) => // frame window (ROWS BETWEEN)
+      graft.ops.Aggregates.rollingStats(tx(s, dir))
+        .orderBy("conv_id", "turn_idx")),
     "pivot_stats" -> ((s, dir) => // long→wide pivot with declared values
       graft.ops.Aggregates.langLengthPivot(
         s.read.parquet(s"$dir/documents.parquet")).orderBy("lang")),
@@ -268,6 +274,8 @@ object SparkEntry {
     "simhash_pairs" -> OracleSql.simhashVerify,
     "lsh_cosine_pairs" -> OracleSql.lshCosineVerify,
     "ivf_topk" -> OracleSql.ivfVerify,
+    "turn_latency" -> OracleSql.turnLatency(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
+    "rolling_stats" -> OracleSql.rollingStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "window_tumbling" -> OracleSql.tumbling(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "window_sliding" -> OracleSql.sliding(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "dedup_exact" -> OracleSql.dedupExact,

@@ -96,6 +96,32 @@ object Aggregates {
       countDistinct(col("conv_id")).as("n_convs"),
       approx_count_distinct(col("conv_id")).as("n_convs_approx"))
 
+  /** Offset window function (lag): inter-turn latency per conversation.
+    * One exchange keyed on conv_id (many distinct keys at scale), then a
+    * per-partition sort by turn_idx — the canonical offset-window shape;
+    * null for each conversation's first turn, like SQL lag.
+    */
+  def turnLatency(turns: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy("turn_idx")
+    turns.select(col("conv_id"), col("turn_idx"),
+      (col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+        .as("latency_sec"))
+  }
+
+  /** Frame window (ROWS BETWEEN): rolling mean text length over each
+    * conversation's last 3 turns. Same keyed-exchange shape as
+    * turnLatency; the frame is evaluated streaming within the sorted
+    * partition (no per-row re-scan of the frame).
+    */
+  def rollingStats(turns: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy("turn_idx")
+      .rowsBetween(-2, org.apache.spark.sql.expressions.Window.currentRow)
+    turns.select(col("conv_id"), col("turn_idx"), length(col("text")).as("len"))
+      .withColumn("roll_avg_len", avg("len").over(w))
+  }
+
   /** Pivot (long→wide reshape): per-language document counts by length
     * bucket. With the pivot values DECLARED (not discovered), this is one
     * hash aggregate with conditional counts — no extra pass to enumerate

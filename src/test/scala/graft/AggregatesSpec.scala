@@ -63,4 +63,27 @@ class AggregatesSpec extends SparkSpec {
     assert(in.getAs[Long]("rows_in") == all)
     assert(in.getAs[Long]("malformed_envelope") > 0)
   }
+
+  test("lag window: first turn null, latency equals the ts delta") {
+    val rows = Aggregates.turnLatency(turns)
+      .filter(col("conv_id") === "CONV_00000000").orderBy("turn_idx").collect()
+    assert(rows.head.isNullAt(2)) // lag over the partition's first row
+    val ts = turns.filter(col("conv_id") === "CONV_00000000")
+      .orderBy("turn_idx").select(col("ts").cast("long")).collect().map(_.getLong(0))
+    rows.drop(1).zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(2) == ts(i + 1) - ts(i)) }
+  }
+
+  test("frame window: rolling mean covers at most the last 3 turns") {
+    val rows = Aggregates.rollingStats(turns)
+      .filter(col("conv_id") === "CONV_00000000").orderBy("turn_idx").collect()
+    val lens = rows.map(r => if (r.isNullAt(2)) None else Some(r.getInt(2).toLong))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val frame = lens.slice(math.max(0, i - 2), i + 1).flatten
+      val expected = if (frame.isEmpty) None
+        else Some(frame.sum.toDouble / frame.size)
+      val got = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      assert(got == expected, s"row $i: $got vs $expected")
+    }
+  }
 }
