@@ -235,6 +235,24 @@ FROM src u JOIN src t
  AND t.turn_idx > u.turn_idx
 ORDER BY conv_id, u_turn_idx, t_turn_idx"""
 
+  /** Left-outer variant: every user turn appears; unanswered ones carry
+    * nulls on the tool side (streaming form emits those rows once the
+    * watermark passes u_ts + horizon).
+    */
+  def turnJoinOuter(txDir: String, horizonMinutes: Int): String = s"""
+WITH src AS (
+  SELECT * FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
+)
+SELECT u.conv_id AS conv_id, u.turn_idx AS u_turn_idx,
+       t.turn_idx AS t_turn_idx, u.ts AS u_ts, t.ts AS t_ts,
+       t.tool AS tool
+FROM (SELECT * FROM src WHERE role = 'user') u
+LEFT JOIN (SELECT * FROM src WHERE role = 'tool') t
+  ON u.conv_id = t.conv_id
+ AND t.ts >= u.ts AND t.ts <= u.ts + INTERVAL $horizonMinutes MINUTE
+ AND t.turn_idx > u.turn_idx
+ORDER BY conv_id, u_turn_idx, t_turn_idx"""
+
   /** Webdata side-output rows (S4, TP:212-227): emitted at the
     * reached-attribute point for LNK_PERSON x BKT_APPLICATIONS x "[]",
     * suppressed for answers after an earlier-answer abort (quirk Q9/Q2).

@@ -50,6 +50,9 @@ object SparkEntry {
     "turn_join" -> ((s, dir) =>
       graft.streaming.TurnJoin.userToolPairs(tx(s, dir), horizon = "3 minutes")
         .orderBy("conv_id", "u_turn_idx", "t_turn_idx")),
+    "turn_join_outer" -> ((s, dir) => // left-outer stream-stream join, batch form
+      graft.streaming.TurnJoin.userToolPairsOuter(tx(s, dir), horizon = "3 minutes")
+        .orderBy("conv_id", "u_turn_idx", "t_turn_idx")),
     "webdata_rows" -> ((s, dir) => {
       val dec = ValidationPipeline.decide(s, tx(s, dir), TranscriptGen.catalog).toDF()
       ValidationPipeline.routes(dec)._3.orderBy("conv_id", "turn_idx", "payload")
@@ -254,6 +257,7 @@ object SparkEntry {
     "dedup_turns" -> OracleSql.dedup(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "sessionize" -> OracleSql.sessionize(TranscriptGen.fixtureDir("/root/testdata/sf0.01"), 2),
     "turn_join" -> OracleSql.turnJoin(TranscriptGen.fixtureDir("/root/testdata/sf0.01"), 3),
+    "turn_join_outer" -> OracleSql.turnJoinOuter(TranscriptGen.fixtureDir("/root/testdata/sf0.01"), 3),
     "webdata_rows" -> OracleSql.webdata(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "conv_stats_salted" -> OracleSql.convStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "rollup_stats" -> OracleSql.rollupStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),

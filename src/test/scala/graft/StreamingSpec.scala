@@ -374,4 +374,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((0, 1)) && rows.contains((2, 3)))
     assert(!rows.exists(_._1 == 9))
   }
+
+  test("left-outer stream-stream join: unanswered turn emits nulls only after the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val joined = TurnJoin.userToolPairsOuter(mem.toDS().toDF(),
+      horizon = "2 minutes", watermark = Some("1 minute"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("outer_join_out").start()
+    def t(c: String, i: Int, role: String, sec: Long) = Turn(c, i, role, "x",
+      if (role == "tool") "search" else null, ts(sec))
+    def rows() = spark.table("outer_join_out")
+      .select(col("u_turn_idx"), col("t_turn_idx")).collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSet
+    // C1/0 answered; C2/0 never answered — its no-match is NOT final while
+    // the watermark is short of u_ts + horizon, so nothing outer-emits yet
+    mem.addData(t("C1", 0, "user", 0), t("C1", 1, "tool", 30), t("C2", 0, "user", 10))
+    q.processAllAvailable()
+    assert(rows() == Set((0, 1)))
+    // advance event time far past C2/0 + horizon + watermark on BOTH sides
+    mem.addData(t("C3", 0, "user", 1000), t("C3", 1, "tool", 1010))
+    q.processAllAvailable()
+    mem.addData(t("C4", 0, "user", 2000), t("C4", 1, "tool", 2010))
+    q.processAllAvailable()
+    val got = rows()
+    q.stop()
+    assert(got.contains((0, -1)), s"unanswered C2/0 should outer-emit nulls, got $got")
+  }
 }
