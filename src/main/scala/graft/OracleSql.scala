@@ -307,6 +307,19 @@ FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
 GROUP BY ROLLUP(role, has_text)
 ORDER BY role NULLS FIRST, has_text NULLS FIRST, n"""
 
+  def toolSeq(txDir: String): String = s"""
+SELECT conv_id, count(*) AS n_calls,
+  string_agg(tool, ',' ORDER BY turn_idx) AS tool_seq
+FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
+WHERE tool IS NOT NULL
+GROUP BY conv_id ORDER BY conv_id"""
+
+  def groupingSetsStats(txDir: String): String = s"""
+SELECT role, tool, count(*) AS n
+FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
+GROUP BY GROUPING SETS ((role), (tool), ())
+ORDER BY role NULLS FIRST, tool NULLS FIRST, n"""
+
   def turnLatency(txDir: String): String = s"""
 SELECT conv_id, turn_idx,
   CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) AS latency_sec

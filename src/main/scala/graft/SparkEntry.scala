@@ -222,6 +222,11 @@ object SparkEntry {
         .select("doc_id", "media_type", "n_bytes")
         .orderBy("doc_id")
     }),
+    "tool_seq" -> ((s, dir) => // ordered collection agg (string_agg class)
+      graft.ops.Aggregates.toolSequence(tx(s, dir)).orderBy("conv_id")),
+    "grouping_sets_stats" -> ((s, dir) => // explicit GROUPING SETS
+      graft.ops.Aggregates.groupingSetsStats(tx(s, dir))
+        .orderBy(asc_nulls_first("role"), asc_nulls_first("tool"), col("n"))),
     "turn_latency" -> ((s, dir) => // offset window fn (lag)
       graft.ops.Aggregates.turnLatency(tx(s, dir))
         .orderBy("conv_id", "turn_idx")),
@@ -278,6 +283,8 @@ object SparkEntry {
     "simhash_pairs" -> OracleSql.simhashVerify,
     "lsh_cosine_pairs" -> OracleSql.lshCosineVerify,
     "ivf_topk" -> OracleSql.ivfVerify,
+    "tool_seq" -> OracleSql.toolSeq(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
+    "grouping_sets_stats" -> OracleSql.groupingSetsStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "turn_latency" -> OracleSql.turnLatency(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "rolling_stats" -> OracleSql.rollingStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "window_tumbling" -> OracleSql.tumbling(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),

@@ -96,6 +96,34 @@ object Aggregates {
       countDistinct(col("conv_id")).as("n_convs"),
       approx_count_distinct(col("conv_id")).as("n_convs_approx"))
 
+  /** Ordered collection aggregate (SQL string_agg class): the tool-call
+    * sequence of each conversation in turn order. collect_list has no
+    * intra-group order guarantee, so the struct is sorted AFTER
+    * collection (array_sort on (turn_idx, tool) structs — deterministic
+    * because turn_idx is unique per conversation) and only then folded
+    * to a string. One map-side-combined hash aggregate; per-group state
+    * is the conversation's tool calls, bounded by conversation length.
+    */
+  def toolSequence(turns: DataFrame): DataFrame =
+    turns.filter(col("tool").isNotNull)
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_calls"),
+        concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("turn_idx"), col("tool")))),
+            s => s.getField("tool"))).as("tool_seq"))
+
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * per-role totals, per-tool totals, and the grand total in ONE pass
+    * (Spark expands to a single aggregate over the replicated grouping
+    * id, not three scans).
+    */
+  def groupingSetsStats(turns: DataFrame): DataFrame =
+    turns.groupingSets(
+        Seq(Seq(col("role")), Seq(col("tool")), Seq()),
+        col("role"), col("tool"))
+      .agg(count(lit(1)).as("n"))
+
   /** Offset window function (lag): inter-turn latency per conversation.
     * One exchange keyed on conv_id (many distinct keys at scale), then a
     * per-partition sort by turn_idx — the canonical offset-window shape;
