@@ -375,6 +375,37 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_._1 == 9))
   }
 
+  test("built-in dropDuplicatesWithinWatermark agrees with the custom state dedup") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def t(c: String, i: Int, role: String, sec: Long) =
+      Turn(c, i, role, "x", null, ts(sec))
+    val data = Seq(
+      t("D1", 0, "user", 0), t("D1", 0, "user", 5), // replay within watermark
+      t("D1", 1, "tool", 30), t("D1", 1, "tool", 40),
+      t("D2", 0, "user", 10), t("D1", 2, "user", 60))
+    val mem1 = MemoryStream[Turn]
+    val mem2 = MemoryStream[Turn]
+    val custom = DedupState.dedup(spark, mem1.toDS())
+    val builtin = mem2.toDS().toDF().withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+    val q1 = custom.writeStream.outputMode("append")
+      .format("memory").queryName("dd_custom").start()
+    val q2 = builtin.writeStream.outputMode("append")
+      .format("memory").queryName("dd_builtin").start()
+    mem1.addData(data: _*); mem2.addData(data: _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    def surviving(table: String) = spark.table(table)
+      .select("conv_id", "turn_idx").as[(String, Int)].collect().toSet
+    val (c, b) = (surviving("dd_custom"), surviving("dd_builtin"))
+    q1.stop(); q2.stop()
+    assert(c == b, s"custom $c vs builtin $b")
+    assert(c == Set(("D1", 0), ("D1", 1), ("D1", 2), ("D2", 0)))
+    // the custom operator earns its keep over the built-in by ALSO
+    // emitting ordering lineage + counting replays in bounded state;
+    // this test pins that its core keep/drop set is the standard one
+  }
+
   test("left-outer stream-stream join: unanswered turn emits nulls only after the watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
