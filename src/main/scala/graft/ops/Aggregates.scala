@@ -151,22 +151,21 @@ object Aggregates {
   }
 
   /** Pivot (long→wide reshape): per-language document counts by length
-    * bucket. With the pivot values DECLARED (not discovered), this is one
-    * hash aggregate with conditional counts — no extra pass to enumerate
-    * distinct values, no second shuffle; exactly the conditional-FILTER
-    * aggregation the DuckDB oracle states. Empty cells are 0, not null,
-    * to match SQL count semantics.
+    * bucket, pivot values DECLARED. Formulated as ONE aggregate of
+    * conditional counts — the `.pivot(col, values)` API compiles to TWO
+    * aggregation phases even with declared values (groupBy(keys, pivot)
+    * count, then a pivotfirst re-aggregation; plan-pinned finding), while
+    * the conditional-count form is a single partial+final pair over one
+    * exchange keyed on `lang`. Empty cells are 0 per SQL count semantics,
+    * exactly the conditional-FILTER aggregation the DuckDB oracle states.
     */
-  def langLengthPivot(docs: DataFrame): DataFrame =
-    docs
-      .select(col("lang"),
-        when(length(col("text")) < 200, "short")
-          .when(length(col("text")) < 1000, "medium")
-          .otherwise("long").as("len_bucket"))
+  def langLengthPivot(docs: DataFrame): DataFrame = {
+    val bucket = when(length(col("text")) < 200, "short")
+      .when(length(col("text")) < 1000, "medium")
+      .otherwise("long")
+    def cell(v: String) = count(when(col("len_bucket") === v, 1)).as(s"n_$v")
+    docs.select(col("lang"), bucket.as("len_bucket"))
       .groupBy("lang")
-      .pivot("len_bucket", Seq("short", "medium", "long"))
-      .agg(count(lit(1)))
-      .na.fill(0L, Seq("short", "medium", "long"))
-      .select(col("lang"), col("short").as("n_short"),
-        col("medium").as("n_medium"), col("long").as("n_long"))
+      .agg(cell("short"), cell("medium"), cell("long"))
+  }
 }

@@ -109,6 +109,43 @@ class PlanAuditSpec extends SparkSpec {
       s"expected pruned read, got $readFiles of $allFiles files")
   }
 
+  test("pivot with declared values is one aggregate pass, no Expand") {
+    // NB the .pivot(col, values) API would be TWO aggregation phases here
+    // (groupBy(keys, pivot).count + pivotfirst re-agg — measured); the
+    // conditional-count formulation is a single partial+final pair.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val s = plan(graft.ops.Aggregates.langLengthPivot(docs))
+    assert(!s.contains("Expand"), s.take(1200))
+    assert("HashAggregate".r.findAllIn(s).length == 2, // partial + final
+      s.linesIterator.filter(_.contains("Aggregate")).mkString("\n"))
+    assert("Exchange".r.findAllIn(s).length == 1, s.take(1200))
+  }
+
+  test("grouping sets is ONE Expand + one aggregate pass, not three scans") {
+    val p = TranscriptGen.ensure(spark, "/root/testdata/sf0.001")
+    val s = plan(graft.ops.Aggregates.groupingSetsStats(
+      TranscriptGen.readTranscripts(spark, p)))
+    assert("Expand".r.findAllIn(s).length == 1, s.take(1200))
+    assert("Scan parquet".r.findAllIn(s).length == 1,
+      s.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+  }
+
+  test("ordered collection agg plans as partial+final ObjectHashAggregate") {
+    val p = TranscriptGen.ensure(spark, "/root/testdata/sf0.001")
+    val s = plan(graft.ops.Aggregates.toolSequence(
+      TranscriptGen.readTranscripts(spark, p)))
+    assert("ObjectHashAggregate".r.findAllIn(s).length == 2, s.take(1200))
+  }
+
+  test("outer interval join: equi-keyed SMJ on conv_id, never a cartesian") {
+    val p = TranscriptGen.ensure(spark, "/root/testdata/sf0.001")
+    val s = plan(graft.streaming.TurnJoin.userToolPairsOuter(
+      TranscriptGen.readTranscripts(spark, p), horizon = "3 minutes"))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+      s.take(1500))
+    assert(s.contains("SortMergeJoin") || s.contains("BroadcastHashJoin"), s.take(1500))
+  }
+
   test("whole-stage codegen covers the stateless column stages") {
     val p = TranscriptGen.ensure(spark, "/root/testdata/sf0.001")
     val parsed = ValidationPipeline.parsed(TranscriptGen.readTranscripts(spark, p))
