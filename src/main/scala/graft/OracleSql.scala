@@ -307,6 +307,20 @@ FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
 GROUP BY ROLLUP(role, has_text)
 ORDER BY role NULLS FIRST, has_text NULLS FIRST, n"""
 
+  /** Exact quantiles re-derived (quantile_cont = Spark's `percentile`
+    * interpolation); the approx columns arrive pre-reduced to boolean
+    * bound claims, asserted true.
+    */
+  def quantileApprox(txDir: String): String = s"""
+SELECT role,
+  quantile_cont(length(text), 0.5) AS p50_exact,
+  quantile_cont(length(text), 0.9) AS p90_exact,
+  CAST(max(length(text)) - min(length(text)) AS BIGINT) AS range,
+  TRUE AS p50_ok,
+  TRUE AS p90_ok
+FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
+GROUP BY role ORDER BY role"""
+
   def toolSeq(txDir: String): String = s"""
 SELECT conv_id, count(*) AS n_calls,
   string_agg(tool, ',' ORDER BY turn_idx) AS tool_seq

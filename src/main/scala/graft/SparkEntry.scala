@@ -222,6 +222,9 @@ object SparkEntry {
         .select("doc_id", "media_type", "n_bytes")
         .orderBy("doc_id")
     }),
+    "quantile_approx" -> ((s, dir) => // GK sketch beside exact percentile;
+      // sketch value is engine-specific, so the oracle asserts the BOUND
+      graft.ops.Aggregates.quantileStats(tx(s, dir)).orderBy("role")),
     "tool_seq" -> ((s, dir) => // ordered collection agg (string_agg class)
       graft.ops.Aggregates.toolSequence(tx(s, dir)).orderBy("conv_id")),
     "grouping_sets_stats" -> ((s, dir) => // explicit GROUPING SETS
@@ -283,6 +286,7 @@ object SparkEntry {
     "simhash_pairs" -> OracleSql.simhashVerify,
     "lsh_cosine_pairs" -> OracleSql.lshCosineVerify,
     "ivf_topk" -> OracleSql.ivfVerify,
+    "quantile_approx" -> OracleSql.quantileApprox(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "tool_seq" -> OracleSql.toolSeq(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "grouping_sets_stats" -> OracleSql.groupingSetsStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "turn_latency" -> OracleSql.turnLatency(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),

@@ -150,6 +150,34 @@ object Aggregates {
       .withColumn("roll_avg_len", avg("len").over(w))
   }
 
+  /** Exact + approximate quantiles of text length per role — the
+    * quantile-sketch sibling of `cardinality`'s HLL: `percentile` is the
+    * exact sort-based aggregate (quantile_cont interpolation, the DuckDB
+    * oracle's definition), `approx_percentile` is Spark's bounded-memory
+    * Greenwald-Khanna sketch, mergeable across partitions (the 100 TB
+    * path — exact percentile buffers every value per group; the sketch
+    * holds O(1/eps) per group at any scale). As with the HLL column, the
+    * sketch value itself is engine-specific, so the emitted claim is the
+    * |approx − exact| <= eps·range BOUND, which the oracle asserts true.
+    */
+  def quantileStats(turns: DataFrame, eps: Double = 0.02): DataFrame = {
+    val len = length(col("text"))
+    turns
+      .select(col("role"), len.as("len"))
+      .groupBy("role")
+      .agg(
+        expr("percentile(len, 0.5)").as("p50_exact"),
+        expr("percentile(len, 0.9)").as("p90_exact"),
+        expr("approx_percentile(len, 0.5, 1000)").as("p50_approx"),
+        expr("approx_percentile(len, 0.9, 1000)").as("p90_approx"),
+        (max("len") - min("len")).cast("long").as("range"))
+      .withColumn("p50_ok",
+        abs(col("p50_approx") - col("p50_exact")) <= col("range") * eps)
+      .withColumn("p90_ok",
+        abs(col("p90_approx") - col("p90_exact")) <= col("range") * eps)
+      .drop("p50_approx", "p90_approx")
+  }
+
   /** Pivot (long→wide reshape): per-language document counts by length
     * bucket, pivot values DECLARED. Formulated as ONE aggregate of
     * conditional counts — the `.pivot(col, values)` API compiles to TWO
