@@ -518,6 +518,76 @@ SELECT doc_id,
     (acc, c) -> (acc * 31 + c) % ${graft.ops.TextMetrics.FpMod}) AS fingerprint
 FROM n ORDER BY doc_id"""
 
+  /** End-to-end curation pipeline (ops/Curation.scala): exact dedup →
+    * near-dup removal (3-gram Jaccard >= 0.5, maxDf 1000, drop the larger
+    * doc_id) → language filter (stopword-hit argmax = 'en') → md5-bucket
+    * split + token counts. Each CTE mirrors the already-green
+    * per-operator oracle; this checks the COMPOSITION.
+    */
+  val curationPipeline: String = {
+    val hitCols = graft.ops.TextMetrics.stopwords.map { case (lang, sw) =>
+      val lst = sw.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(ws, x -> list_contains($lst, x))) AS hits_$lang"
+    }.mkString(",\n    ")
+    val langs = graft.ops.TextMetrics.stopwords.map(_._1)
+    val gmax = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+    val caseChain = langs.map(l => s"WHEN hits_$l = $gmax THEN '$l'").mkString(" ")
+    s"""
+WITH h AS (
+  SELECT doc_id, text,
+    md5(trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS text_hash
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      doc_id = min(doc_id) OVER (PARTITION BY text_hash) AS keep
+    FROM h) WHERE keep
+),
+w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM s1
+),
+shingled AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(ws) - 2, 0)),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w
+),
+ex0 AS (SELECT doc_id, unnest(s) AS sh FROM shingled),
+keepsh AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= 1000),
+ex AS (SELECT ex0.* FROM ex0 SEMI JOIN keepsh USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+neardup AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+),
+s2 AS (SELECT * FROM s1 ANTI JOIN neardup USING (doc_id)),
+wl AS (
+  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM s2
+),
+hl AS (
+  SELECT doc_id, text,
+    $hitCols
+  FROM wl
+),
+s3 AS (SELECT doc_id, text FROM hl WHERE (CASE $caseChain END) = 'en')
+SELECT doc_id,
+  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+       THEN 'val' ELSE 'train' END AS split,
+  len(string_split_regex(lower(trim(text)), '\\s+')) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens
+FROM s3 ORDER BY doc_id"""
+  }
+
   /** Set ops: conversations using both tools / search only. */
   def setOps(txDir: String): String = s"""
 WITH tx AS (SELECT * FROM read_parquet('$txDir/transcripts.parquet/*.parquet')),

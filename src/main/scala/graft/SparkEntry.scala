@@ -149,6 +149,9 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     // ----- training-data pipeline ops (documents / embeddings tables) -----
+    "curation_pipeline" -> ((s, dir) => // end-to-end curation composition
+      graft.ops.Curation.curate(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")),
     "dedup_exact" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val planted = docs.select("doc_id", "text").unionByName(
@@ -293,6 +296,7 @@ object SparkEntry {
     "rolling_stats" -> OracleSql.rollingStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "window_tumbling" -> OracleSql.tumbling(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "window_sliding" -> OracleSql.sliding(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
+    "curation_pipeline" -> OracleSql.curationPipeline,
     "dedup_exact" -> OracleSql.dedupExact,
     "ngram_jaccard" -> OracleSql.ngramJaccard,
     "text_quality" -> OracleSql.textQuality,

@@ -194,6 +194,26 @@ class OpsSpec extends SparkSpec {
     assert(p.columns.toSeq == Seq("lang", "n_short", "n_medium", "n_long"))
   }
 
+  test("curation pipeline: stage-monotone, near-dups gone, survivors all target-lang") {
+    val curated = graft.ops.Curation.curate(planted, jaccard = 0.5)
+    val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact copies (doc_id+200000) must never survive: their base doc wins
+    assert(ids.forall(_ < 200000), s"exact dup survived: ${ids.filter(_ >= 200000)}")
+    // near-dup mutated copies (doc_id+100000) lose to their base when the
+    // pair crosses the 0.5 jaccard threshold
+    val pairs = graft.ops.Dedup.ngramJaccardPairs(
+      planted.dropDuplicates("doc_id"), n = 3, threshold = 0.5)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    assert(pairs.forall(b => !ids.contains(b)), "a dropped near-dup survived")
+    // survivors are exclusively the target language
+    val langs = graft.ops.TextMetrics.langId(planted)
+      .select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ids.forall(langs(_) == "en"))
+    // every survivor carries a split and token counts
+    assert(curated.filter(col("split").isNull || col("ws_tokens").isNull).count() == 0)
+  }
+
   test("hash split: deterministic, disjoint, ~5% validation fraction") {
     val a = graft.ops.Sampling.hashSplit(docs).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
