@@ -218,11 +218,17 @@ object Bench {
         val maxRetries = sys.env.getOrElse("SPARK_GRAFT_SCALING_RETRIES", "4").toInt
         var retried = 0
         var converged = false
+        // a child whose re-sample spawn itself failed is marked ineligible
+        // and SKIPPED — not a reason to abandon the whole pass (a poisoned
+        // LOW child left in place inflates its pairs' efficiency, the exact
+        // direction the gate guards against)
+        var ineligible = Set.empty[Int]
         while (!converged && retried < maxRetries) {
           val bestMin: Map[Int, Double] =
             runs.groupBy(_._1).map { case (w, rs) => w -> rs.map(_._2._2.min).min }
           runs.zipWithIndex
-            .filter { case ((w, (_, dec, _)), _) => dec.min > bestMin(w) * 1.25 }
+            .filter { case ((w, (_, dec, _)), i) =>
+              !ineligible(i) && dec.min > bestMin(w) * 1.25 }
             .sortBy { case ((w, (_, dec, _)), _) => -(dec.min / bestMin(w)) }
             .headOption match {
             case Some(((w, (r, dec, fast)), i)) =>
@@ -232,8 +238,8 @@ object Bench {
                 val (_, dec2, fast2) = runClusterChild(w, coresPer, corpus, decSamples)
                 runs = runs.updated(i, (w, (r, dec ++ dec2, fast ++ fast2)))
               } catch { case e: Throwable =>
-                System.err.println(s"[bench] re-sample failed (keeping samples): $e")
-                converged = true
+                System.err.println(s"[bench] re-sample failed, skipping child $i: $e")
+                ineligible += i
               }
               retried += 1
             case None => converged = true
@@ -287,9 +293,22 @@ object Bench {
     val fastEffBest = sc.fastPairs.map(_._3).max
     System.err.println(f"[bench] scaling: decide efficiency median $effMedian%.3f (gate) best $effBest%.3f " +
       f"(${medianPair._1}%.0f → ${medianPair._2}%.0f turns/s); fast efficiency best $fastEffBest%.3f")
-    // reference point: the whole box through one JVM (headline throughput)
+    // reference point: the whole box through one JVM (headline throughput).
+    // min-of-2, with ONE extra child if the min still loses to the 16-core
+    // gate pair — local[32] on the full box cannot structurally lose to 4x4
+    // executors on half of it, so that outcome means both samples landed in
+    // a steal window (the round-3 driver run recorded 301k here vs 2.4M in
+    // every clean run, off a single unguarded sample).
     val local32 = try {
-      val (_, dec32, fast32) = runThreadChild(cpus, corpus, 1, 1)
+      val (_, d1, f1) = runThreadChild(cpus, corpus, 2, 1)
+      val (dec32, fast32) =
+        if (rows / d1.min >= valueTps) (d1, f1)
+        else {
+          System.err.println(f"[bench] local32 decide ${rows / d1.min}%.0f t/s < gate pair " +
+            f"$valueTps%.0f t/s — steal-poisoned, one re-sample")
+          val (_, d2, f2) = runThreadChild(cpus, corpus, 2, 1)
+          (d1 ++ d2, f1 ++ f2)
+        }
       Some((rows / dec32.min, rows / fast32.min))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] local32 reference failed: $e"); None }
@@ -323,17 +342,23 @@ object Bench {
     // protocol as scaling, so a single host CPU-steal spike cannot poison
     // one phase end-to-end (round 2 recorded stateless at half its
     // stateful sibling exactly that way).
-    def streamRun(withDedup: Boolean): Double = {
+    def streamRun(withDedup: Boolean, inputDir: String = corpus,
+        inputRows: Long = rows): Double = {
       val tag = if (withDedup) "stateful" else "stateless"
       val outDir = java.nio.file.Files.createTempDirectory(s"graft_bench_sink_$tag").toString
       val ckDir = java.nio.file.Files.createTempDirectory(s"graft_bench_ck_$tag").toString
       if (withDedup)
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // IDENTICAL trigger sizing for both phases: the round-3 "stateless <
+      // stateful" inversion was structural, not noise — stateless ran 32
+      // files/trigger vs stateful's 64, i.e. TWICE the micro-batches and
+      // twice the per-batch planning/commit overhead billed to the phase
+      // that was supposed to be faster.
       val cfg = graft.streaming.StreamValidate.Config(
-        corpus, outDir, ckDir, withDedup = withDedup,
-        maxFilesPerTrigger = if (withDedup) 64 else 32, availableNow = true)
-      System.err.println(s"[bench] $tag streaming e2e over $rows rows...")
+        inputDir, outDir, ckDir, withDedup = withDedup,
+        maxFilesPerTrigger = 64, availableNow = true)
+      System.err.println(s"[bench] $tag streaming e2e over $inputRows rows...")
       val t0 = System.nanoTime()
       val q = graft.streaming.StreamValidate.start(spark, cfg, TranscriptGen.catalog)
       q.awaitTermination(); q.stop()
@@ -341,9 +366,19 @@ object Bench {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(outDir)).deleteRecursively()
       new Directory(new java.io.File(ckDir)).deleteRecursively()
-      System.err.println(s"[bench] $tag streaming e2e: $sec s (${rows / sec} turns/s)")
-      rows / sec
+      System.err.println(s"[bench] $tag streaming e2e: $sec s (${inputRows / sec} turns/s)")
+      inputRows / sec
     }
+    // WARMUP on the small fixture corpus: the first streaming query of a
+    // session pays source/state/sink class-load + codegen that the sampled
+    // runs must not absorb (the first stateless sample was the slowest in
+    // every committed round-3 run).
+    try {
+      val warmTx = TranscriptGen.ensure(spark, sfDir).transcripts
+      val warmRows = spark.read.parquet(warmTx).count()
+      streamRun(withDedup = false, warmTx, warmRows)
+      streamRun(withDedup = true, warmTx, warmRows)
+    } catch { case e: Throwable => System.err.println(s"[bench] stream warmup: $e") }
     val streamSamples: Seq[(String, Double)] = (1 to 3).flatMap { _ =>
       Seq("stateless" -> (try streamRun(false) catch { case e: Throwable =>
             System.err.println(s"[bench] stateless streaming FAILED: $e"); -1.0 }),
@@ -430,9 +465,15 @@ object Bench {
       s"""{"headline":$headline,"scaling":$scalingJson,"streaming_samples":$streamJson,"ann":$annJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/data/bench_last.json"),
       fullJson.getBytes("UTF-8"))
-    new java.io.File("/root/repo/BENCH").mkdirs()
-    java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH/bench_r3_record.json"),
-      fullJson.getBytes("UTF-8"))
+    // The committed run-of-record under BENCH/ is IMMUTABLE by default:
+    // every run writes only data/bench_last.json, and a run is promoted to
+    // the record explicitly (SPARK_GRAFT_BENCH_RECORD=<path> or a manual
+    // copy + commit) — never silently overwritten by whatever ran last.
+    sys.env.get("SPARK_GRAFT_BENCH_RECORD").foreach { recordPath =>
+      new java.io.File(recordPath).getParentFile.mkdirs()
+      java.nio.file.Files.write(java.nio.file.Paths.get(recordPath),
+        fullJson.getBytes("UTF-8"))
+    }
     System.err.println(s"[bench] final line: ${finalLine.length} bytes")
     spark.stop()
     // FINAL stdout line, raw compact JSON (outputStrategy=StdoutOutput)

@@ -319,6 +319,7 @@ SELECT role,
   TRUE AS p50_ok,
   TRUE AS p90_ok
 FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
+WHERE text IS NOT NULL
 GROUP BY role ORDER BY role"""
 
   def toolSeq(txDir: String): String = s"""

@@ -163,6 +163,9 @@ object Aggregates {
   def quantileStats(turns: DataFrame, eps: Double = 0.02): DataFrame = {
     val len = length(col("text"))
     turns
+      // null text would yield NULL exact quantiles and NULL bound claims
+      // for an all-null group, diverging from the oracle's hardcoded TRUE
+      .filter(col("text").isNotNull)
       .select(col("role"), len.as("len"))
       .groupBy("role")
       .agg(

@@ -45,7 +45,11 @@ object Dedup {
     * every row by digest).
     */
   def exact(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    // Outer trim matters: Spark/DuckDB `trim` strips SPACES only, so text
+    // with a leading tab/newline reaches regexp_replace un-trimmed and the
+    // \s+ collapse leaves a single leading/trailing space — the outer trim
+    // removes it, matching the oracle's md5(trim(regexp_replace(...))).
+    val norm = trim(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
     val hashed = docs.select(col("doc_id"), md5(norm).as("text_hash"))
     val keep = hashed.groupBy("text_hash").agg(min("doc_id").as("keep_id"))
     // null-SAFE join key: null-text docs hash to a null key and form their
