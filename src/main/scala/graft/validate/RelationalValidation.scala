@@ -57,9 +57,17 @@ object RelationalValidation {
   /** Full relational decision frame: (conv_id, turn_idx, role, tool, ts,
     * text, decision, reason, uuid, promoted, webdata).
     */
+  /** @param broadcastDims explicit broadcast hints on the dimension joins
+    *   (the right plan while the catalog fits executor memory — pinned in
+    *   RelationalSpec). Pass `false` when a dimension has outgrown the
+    *   broadcast threshold: a hint would force the broadcast anyway
+    *   (driver OOM at a 100x catalog), so the large-catalog path must let
+    *   Catalyst fall back to a shuffle join — decisions are identical
+    *   either way (agreement-tested).
+    */
   def decide(spark: SparkSession, transcripts: DataFrame, entities: DataFrame,
       defAllowed: DataFrame, attributeDefs: DataFrame,
-      enableBlacklist: Boolean = true): DataFrame = {
+      enableBlacklist: Boolean = true, broadcastDims: Boolean = true): DataFrame = {
 
     val parsed = ValidationPipeline.parsed(transcripts)
       .withColumn("claims", decodeToken(col("msg.token")))
@@ -93,10 +101,11 @@ object RelationalValidation {
         col("ts"), col("text"), col("claims"),
         posexplode_outer(col("msg.items")).as(Seq("pos", "ans")))
 
-    val se = broadcast(entities.select(col("code").as("se_code")))
-    val te = broadcast(entities.select(col("code").as("te_code"), col("name").as("te_name")))
-    val de = broadcast(defAllowed.select(col("target_code").as("de_code"), col("allowed")))
-    val at = broadcast(attributeDefs.select(col("attribute_code").as("at_code"),
+    val hint: DataFrame => DataFrame = if (broadcastDims) broadcast else identity
+    val se = hint(entities.select(col("code").as("se_code")))
+    val te = hint(entities.select(col("code").as("te_code"), col("name").as("te_name")))
+    val de = hint(defAllowed.select(col("target_code").as("de_code"), col("allowed")))
+    val at = hint(attributeDefs.select(col("attribute_code").as("at_code"),
       col("validations")))
 
     val joined = answers

@@ -139,6 +139,26 @@ class OpsSpec extends SparkSpec {
     assert(tk.filter($"rank" === 1).count().toInt == perQ.length)
   }
 
+  test("bounded-heap top-k agrees row-for-row with the window formulation") {
+    import spark.implicits._
+    // the former row_number().over(partitionBy(q_id).orderBy(cos desc,
+    // vec_id asc)) plan, re-derived inline as the semantic reference
+    val base = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val queries = base.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("q"))
+    val scored = base.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", Similarity.cosine($"q", $"v").as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy($"cos".desc, $"vec_id".asc)
+    val windowed = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10).select("q_id", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val heap = Similarity.bruteTopK(emb, k = 10, stride = 50)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(heap.length == windowed.length)
+    heap.zip(windowed).foreach { case (h, e) => assert(h == e, s"$h != $e") }
+  }
+
   test("IVF ANN: recall@10 >= 0.6 vs brute force") {
     import spark.implicits._
     val brute = Similarity.bruteTopK(emb, k = 10, stride = 50)

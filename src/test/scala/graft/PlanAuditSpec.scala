@@ -43,6 +43,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"), s.take(1200))
   }
 
+  test("ANN final top-k is a bounded-heap aggregate, not a candidate window sort") {
+    // The exchange between the partial and final ObjectHashAggregate
+    // carries <= k rows per (task, query); a Window formulation would
+    // shuffle AND sort every scored candidate — the one 100x-scale killer
+    // round 3's audit found. Pin both ANN paths.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for (s <- Seq(plan(graft.ops.Similarity.bruteTopK(emb, k = 5, stride = 100)),
+        plan(graft.ops.Similarity.ivfTopK(emb, k = 5, stride = 100, nlist = 8, nprobe = 4)))) {
+      assert(!s.contains("Window"), s.take(1500))
+      assert("ObjectHashAggregate".r.findAllIn(s).length == 2, // partial + final
+        s.linesIterator.filter(_.contains("Aggregate")).mkString("\n"))
+    }
+  }
+
+  test("dedup_exact join-back is a hash join on the digest (never BNLJ/cartesian)") {
+    // The null-safe <=> key is still an equi-join key; a regression to
+    // BroadcastNestedLoopJoin would be O(n^2) at scale (round-3 bench saw
+    // a 3x slowdown coincide with the <=> rewrite — pinned benign here).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val s = plan(graft.ops.Dedup.exact(docs))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s.take(1500))
+    assert(s.contains("BroadcastHashJoin") || s.contains("ShuffledHashJoin")
+      || s.contains("SortMergeJoin"), s.take(1500))
+  }
+
   test("salted agg plan has two aggregate rounds (partial spread + merge)") {
     val p = TranscriptGen.ensure(spark, "/root/testdata/sf0.001")
     val s = plan(graft.ops.Aggregates.convStatsSalted(

@@ -50,4 +50,38 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), "dimension join fell back to SMJ")
   }
+
+  test("decisions survive a dimension catalog too big to broadcast (shuffle-join fallback)") {
+    // The 100x-catalog scenario: when a dimension outgrows
+    // autoBroadcastJoinThreshold a broadcast HINT would still force the
+    // broadcast (driver OOM at scale), so the large-catalog path is
+    // decide(broadcastDims = false) + threshold -1 — Catalyst plans the
+    // dimension joins as shuffle joins. Decisions must be identical:
+    // correctness must not depend on the join strategy.
+    import spark.implicits._
+    val turns = TranscriptGen.turnsDs(spark, 12, 10, 6).toDF()
+    def run(bcast: Boolean) = RelationalValidation.decide(spark, turns,
+      TranscriptGen.entities.toDF(), TranscriptGen.defAllowed.toDF(),
+      TranscriptGen.attributeDefs.toDF(), enableBlacklist = true,
+      broadcastDims = bcast)
+    val before = canon(run(bcast = true))
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fallback = run(bcast = false)
+      val plan = fallback.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        "fallback plan still broadcasts:\n" + plan.take(1500))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(1500))
+      val after = canon(fallback)
+      assert(after.keySet == before.keySet)
+      before.foreach { case (k, v) =>
+        assert(after(k) == v, s"decision changed under shuffle-join fallback @ $k")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
