@@ -28,6 +28,17 @@ import graft.validate.ValidationPipeline
   */
 object StreamValidate {
 
+  /** @param catalogDir when set, the dimension catalog is RE-LOADED from
+    *   this directory (CatalogIO layout) at the start of every micro-batch
+    *   — matching the reference's always-fresh per-record lookups
+    *   (TopologyProducer.java:196-208) at micro-batch granularity. When
+    *   None, the catalog passed to [[start]] is broadcast once (the
+    *   immutable-catalog fast path).
+    * @param relational validate with the relational (join-based)
+    *   formulation instead of the fused typed map — only meaningful with
+    *   `catalogDir` (the refresh path revalidates inside `foreachBatch`,
+    *   where either formulation runs on the batch frame).
+    */
   final case class Config(
       inputDir: String,
       outDir: String,
@@ -36,27 +47,58 @@ object StreamValidate {
       withDedup: Boolean = true,
       watermark: String = "10 minutes",
       maxFilesPerTrigger: Int = 4,
-      availableNow: Boolean = false)
+      availableNow: Boolean = false,
+      catalogDir: Option[String] = None,
+      relational: Boolean = false)
 
-  def decisions(spark: SparkSession, cfg: Config, cat: Catalog): DataFrame = {
+  /** Source + optional conv_id-keyed dedup state — the streaming stages
+    * that must live in the stream plan (state, watermark). Validation is
+    * appended either here (static catalog) or per-batch (refresh mode).
+    */
+  private def turnsStream(spark: SparkSession, cfg: Config): DataFrame = {
     import spark.implicits._
     val raw = spark.readStream
       .schema(graft.model.Schemas.transcript)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(cfg.inputDir)
-    val turns =
-      if (!cfg.withDedup) raw
-      else DedupState.dedup(spark, raw.as[graft.model.Turn], cfg.watermark)
-        .drop("out_of_order")
-    // decideFast: one-pass parse+evaluate (agreement-tested with decide);
-    // lineage counters surface through its graft_out observed metrics
-    ValidationPipeline.decideFast(spark, turns.toDF(), cat, cfg.enableBlacklist).toDF()
+    if (!cfg.withDedup) raw
+    else DedupState.dedup(spark, raw.as[graft.model.Turn], cfg.watermark)
+      .drop("out_of_order").toDF()
   }
 
-  /** Start the query; returns the running handle. */
+  def decisions(spark: SparkSession, cfg: Config, cat: Catalog): DataFrame =
+    // decideFast: one-pass parse+evaluate (agreement-tested with decide);
+    // lineage counters surface through its graft_out observed metrics
+    ValidationPipeline.decideFast(spark, turnsStream(spark, cfg), cat,
+      cfg.enableBlacklist).toDF()
+
+  /** Start the query; returns the running handle. `cat` is the static
+    * catalog; ignored when `cfg.catalogDir` enables per-batch refresh.
+    */
   def start(spark: SparkSession, cfg: Config, cat: Catalog): StreamingQuery = {
     val sink = new ExactlyOnceSink(cfg.outDir)
-    decisions(spark, cfg, cat).writeStream
+    val (frame, validateBatch): (DataFrame, (DataFrame, Long) => Unit) =
+      cfg.catalogDir match {
+        case None =>
+          (decisions(spark, cfg, cat),
+            (df: DataFrame, id: Long) => sink.writeBatch(df, id))
+        case Some(dir) =>
+          // Refresh mode: the stream plan carries only source+state; the
+          // catalog is re-read and re-broadcast per micro-batch, so a dim
+          // row added mid-stream is honored by the NEXT batch (tested).
+          (turnsStream(spark, cfg), (df: DataFrame, id: Long) => {
+            val decided =
+              if (cfg.relational) {
+                val (e, d, a) = graft.model.CatalogIO.frames(spark, dir)
+                graft.validate.RelationalValidation
+                  .decide(spark, df, e, d, a, cfg.enableBlacklist)
+              } else
+                ValidationPipeline.decideFast(spark, df,
+                  graft.model.CatalogIO.load(spark, dir), cfg.enableBlacklist).toDF()
+            sink.writeBatch(decided, id)
+          })
+      }
+    frame.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .outputMode("append")
       // AvailableNow = drain the backlog at max rate then stop (the honest
@@ -64,7 +106,7 @@ object StreamValidate {
       // ProcessingTime for the steady-state tailing mode.
       .trigger(if (cfg.availableNow) Trigger.AvailableNow()
         else Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (df: DataFrame, id: Long) => sink.writeBatch(df, id) }
+      .foreachBatch(validateBatch)
       .start()
   }
 

@@ -120,6 +120,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet == want, "lost or extra rows after restart")
   }
 
+  test("per-batch catalog refresh: entity added mid-stream is honored by the next micro-batch (fused + relational)") {
+    import spark.implicits._
+    for (relational <- Seq(false, true)) {
+      val tag = if (relational) "rel" else "fused"
+      val in = tmp(s"in_cr_$tag"); val out = tmp(s"out_cr_$tag")
+      val ck = tmp(s"ck_cr_$tag"); val cat = tmp(s"cat_cr_$tag")
+      // stale catalog: the scenario's target entity (PER_TARGET0 for
+      // u=1, h=42) does not exist yet → TARGET_MISSING rejection
+      graft.model.CatalogIO.write(spark, cat,
+        TranscriptGen.entities.filterNot(_.code == "PER_TARGET0"),
+        TranscriptGen.defAllowed, TranscriptGen.attributeDefs)
+      def turn(i: Int) = Turn("CREF", i, "user",
+        TranscriptGen.userText("valid_email", 1, 42L), null, ts(i))
+      Seq(turn(0)).toDS().coalesce(1).write.mode("append").parquet(in)
+      val cfg = StreamValidate.Config(in, out, ck, withDedup = false,
+        maxFilesPerTrigger = 10, catalogDir = Some(cat), relational = relational)
+      val q = StreamValidate.start(spark, cfg, TranscriptGen.catalog)
+      q.processAllAvailable()
+      // catalog update lands mid-stream; the NEXT micro-batch must see it
+      graft.model.CatalogIO.write(spark, cat, TranscriptGen.entities,
+        TranscriptGen.defAllowed, TranscriptGen.attributeDefs)
+      Seq(turn(1)).toDS().coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable(); q.stop()
+      val sink = new ExactlyOnceSink(out)
+      val rejected = sink.read(spark, "rejected").select("turn_idx", "reason")
+        .as[(Int, String)].collect().toMap
+      val valid = sink.read(spark, "valid").select("turn_idx").as[Int].collect().toSet
+      assert(rejected.get(0).contains("TARGET_MISSING"),
+        s"[$tag] pre-update turn should reject TARGET_MISSING, got $rejected")
+      assert(valid == Set(1),
+        s"[$tag] post-update turn should be valid, got valid=$valid rejected=$rejected")
+    }
+  }
+
   // ------------------------------------------------------- exactly-once sink
 
   test("sink replay of a committed batch is a no-op; torn write is repaired") {
