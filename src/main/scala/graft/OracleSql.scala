@@ -798,10 +798,16 @@ ORDER BY doc_a, doc_b"""
     * functions of (doc_id, n_chars) — independently re-derivable even
     * though the payload bytes / features come from the stubbed decoder.
     */
+  /** Media container sizes re-derived from (doc_id, n_chars): WAV = 44-byte
+    * canonical header + 2 bytes/sample; BMP = 54-byte header + 4-byte-
+    * aligned row stride x height (Multimodal.synthesize/wavFile/bmpFile).
+    */
   val multimodalMeta: String = """
 SELECT doc_id,
   CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS media_type,
-  CAST(64 + (n_chars % 192) AS INT) AS n_bytes
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 44 + 2 * (32 + (n_chars % 96))
+       ELSE 54 + (((5 + doc_id % 8) * 3 + 3) // 4 * 4) * (4 + (n_chars % 5))
+       END AS INT) AS n_bytes
 FROM documents ORDER BY doc_id"""
 
   /** Brute-force cosine top-k (k=10, stride=50), sequential-sum doubles. */
@@ -825,15 +831,20 @@ SELECT q_id, vec_id, cos, rank FROM (
 ) WHERE rank <= 10
 ORDER BY q_id, rank"""
 
-  // -------- multimodal_features: full re-derivation of the synth+extract
-  // chain (Multimodal.scala). The payload is a splitmix64 byte stream of
-  // (doc_id, n_chars); checksum is a wrapping ck*31+b Long fold; each
-  // feature lane is a float32 accumulation of byte/255.0f in byte order.
-  // All three are re-derived in DuckDB: splitmix64 via HUGEINT mod-2^64
-  // arithmetic (the 64x64 multiply split 32/32 so the product never
-  // overflows the 128-bit HUGEINT), the byte stream via a recursive CTE
-  // over 8-byte blocks, the float32 sums via list_reduce with a FLOAT cast
-  // per step — bit-identical to the JVM on every row.
+  // -------- multimodal_features: full re-derivation of the synth+decode+
+  // extract chain (Multimodal.scala). The media DATA section (BMP pixel
+  // stream / WAV PCM bytes) is a splitmix64 byte stream of doc_id, wrapped
+  // in a REAL container the engine actually parses (header, row padding,
+  // RIFF chunk walk); checksum is a wrapping ck*31+b Long fold over the
+  // decoded content bytes; image feature lane j = sum of pixel bytes at
+  // positions ≡ j (mod 16); audio lane j = sum of |int16 sample| over
+  // samples ≡ j (mod 16) — integer sums below 2^24, so the engine's
+  // float32 accumulation is EXACT and engine doubles equal these integer
+  // sums bit-for-bit. A decoder that misreads the stride/padding/chunk
+  // layout shifts every byte and fails this oracle. splitmix64 runs via
+  // HUGEINT mod-2^64 arithmetic (the 64x64 multiply split 32/32 so the
+  // product never overflows the 128-bit HUGEINT), the byte stream via a
+  // recursive CTE over 8-byte blocks.
 
   private val P64 = "CAST('18446744073709551616' AS HUGEINT)"
   private val P32 = "CAST('4294967296' AS HUGEINT)"
@@ -860,8 +871,14 @@ ORDER BY q_id, rank"""
 
   val multimodalFeatures: String = s"""
 WITH RECURSIVE
-p AS (SELECT doc_id, CAST(64 + (n_chars % 192) AS INT) AS len,
-        CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS media_type
+p AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS media_type,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 2 * (32 + (n_chars % 96))
+             ELSE (5 + doc_id % 8) * (4 + (n_chars % 5)) * 3
+             END AS INT) AS len,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 44 + 2 * (32 + (n_chars % 96))
+             ELSE 54 + (((5 + doc_id % 8) * 3 + 3) // 4 * 4) * (4 + (n_chars % 5))
+             END AS INT) AS n_bytes
       FROM documents),
 seed AS (
   SELECT doc_id, len, ${mixCols("a_", "CAST(doc_id AS HUGEINT)")}
@@ -881,25 +898,38 @@ bytes AS (
   FROM blocks b CROSS JOIN (SELECT unnest(generate_series(0,7)) AS j) u
   WHERE b.k*8 + u.j < b.len
 ),
-feat AS (
-  SELECT doc_id, CAST(i % 16 AS INT) AS lane,
-    list_reduce(list_prepend(CAST(0.0 AS FLOAT),
-        list(CAST(CAST(byte AS FLOAT)/CAST(255.0 AS FLOAT) AS FLOAT) ORDER BY i)),
-      (a, x) -> CAST(a + x AS FLOAT)) AS v
-  FROM bytes GROUP BY doc_id, i % 16
+ifeat AS (
+  SELECT b.doc_id, CAST(b.i % 16 AS INT) AS lane, SUM(b.byte) AS v
+  FROM bytes b JOIN p ON p.doc_id = b.doc_id AND p.media_type = 'image'
+  GROUP BY b.doc_id, b.i % 16
 ),
+samp AS (
+  SELECT b0.doc_id, b0.i // 2 AS k,
+    CASE WHEN b0.byte + 256 * b1.byte >= 32768
+         THEN b0.byte + 256 * b1.byte - 65536
+         ELSE b0.byte + 256 * b1.byte END AS v
+  FROM bytes b0
+  JOIN bytes b1 ON b1.doc_id = b0.doc_id AND b1.i = b0.i + 1
+  JOIN p ON p.doc_id = b0.doc_id AND p.media_type = 'audio'
+  WHERE b0.i % 2 = 0
+),
+afeat AS (
+  SELECT doc_id, CAST(k % 16 AS INT) AS lane, SUM(ABS(v)) AS v
+  FROM samp GROUP BY doc_id, k % 16
+),
+feat AS (SELECT * FROM ifeat UNION ALL SELECT * FROM afeat),
 ck AS (
   SELECT doc_id,
     list_reduce(list_prepend(CAST(0 AS HUGEINT), list(CAST(byte AS HUGEINT) ORDER BY i)),
       (a, x) -> (a*31 + x) % $P64) AS cku
   FROM bytes GROUP BY doc_id
 )
-SELECT p.doc_id, p.media_type, p.len AS n_bytes,
+SELECT p.doc_id, p.media_type, p.n_bytes,
   CAST(CASE WHEN ck.cku >= CAST('9223372036854775808' AS HUGEINT)
        THEN ck.cku - $P64 ELSE ck.cku END AS BIGINT) AS checksum,
   ${(0 until 16).map(j =>
       s"CAST(max(CASE WHEN f.lane = $j THEN f.v END) AS DOUBLE) AS f$j").mkString(",\n  ")}
 FROM p JOIN ck ON ck.doc_id = p.doc_id JOIN feat f ON f.doc_id = p.doc_id
-GROUP BY p.doc_id, p.media_type, p.len, ck.cku
+GROUP BY p.doc_id, p.media_type, p.n_bytes, ck.cku
 ORDER BY p.doc_id"""
 }

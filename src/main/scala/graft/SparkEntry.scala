@@ -201,12 +201,13 @@ object SparkEntry {
       graft.ops.Similarity.lshCosinePairs(
         s.read.parquet(s"$dir/embeddings.parquet"), planes = 8, threshold = 0.35)
         .orderBy("vec_a", "vec_b")),
-    "multimodal_features" -> ((s, dir) => { // decoder is the documented
-      // stub, but checksum + every feature lane are pure splitmix64/f32
-      // functions of (doc_id, n_chars) and the oracle re-derives them all
-      // in DuckDB (HUGEINT mod-2^64 splitmix64 + float32 list_reduce).
-      // Features emit as 16 scalar double columns (a raw array<float>
-      // crashes the driver's pandas sort).
+    "multimodal_features" -> ((s, dir) => { // REAL BMP/WAV decode (header
+      // parse, row-padding strip, RIFF chunk walk); the data sections are
+      // splitmix64 streams, so the oracle re-derives every feature lane +
+      // checksum from (doc_id, n_chars) in DuckDB — a decoder that misreads
+      // stride/padding/chunks fails the hash. Features emit as 16 scalar
+      // double columns (a raw array<float> crashes the driver's pandas
+      // sort); lanes are integer sums < 2^24, so f32 accumulation is exact.
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val feats = graft.ops.Multimodal.extractFeatures(s,
         graft.ops.Multimodal.synthesize(s, docs)).toDF()

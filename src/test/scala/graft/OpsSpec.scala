@@ -187,6 +187,38 @@ class OpsSpec extends SparkSpec {
 
   // -------------------------------------------------------------- multimodal
 
+  test("BMP decode: header parsed, 4-byte row padding stripped, pixels recovered") {
+    // w=6 → rowBytes 18, stride 20: two pad bytes per row must be skipped
+    val (w, h) = (6, 3)
+    val pix = Array.tabulate[Byte](w * h * 3)(i => (i * 7 + 1).toByte)
+    val file = Multimodal.bmpFile(w, h, pix)
+    assert(file.length == 54 + 20 * h)
+    val Some((dw, dh, got)) = Multimodal.decodeBmp(file)
+    assert((dw, dh) == (w, h))
+    assert(got.toSeq == pix.toSeq)
+    // not a BMP → None (falls back to the stub path)
+    assert(Multimodal.decodeBmp("not an image at all".getBytes).isEmpty)
+  }
+
+  test("WAV decode: RIFF chunk walk finds fmt/data past an inserted chunk") {
+    val samples = Array.tabulate[Short](10)(k => (k * 1000 - 5000).toShort)
+    val data = new Array[Byte](20)
+    samples.zipWithIndex.foreach { case (s, k) =>
+      data(2 * k) = s.toByte; data(2 * k + 1) = (s >> 8).toByte
+    }
+    val canonical = Multimodal.wavFile(data)
+    assert(Multimodal.decodeWav(canonical).get.toSeq == samples.toSeq)
+    // splice a LIST chunk between fmt and data — a fixed-offset reader breaks
+    val list = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+    val spliced = canonical.take(36) ++ list ++ canonical.drop(36)
+    // RIFF size field must cover the new chunk
+    val riffSize = spliced.length - 8
+    spliced(4) = riffSize.toByte; spliced(5) = (riffSize >> 8).toByte
+    spliced(6) = (riffSize >> 16).toByte; spliced(7) = (riffSize >> 24).toByte
+    assert(Multimodal.decodeWav(spliced).get.toSeq == samples.toSeq)
+    assert(Multimodal.decodeWav("RIFFgarbage".getBytes).isEmpty)
+  }
+
   test("multimodal: synthesize + extract is deterministic with fixed shape") {
     import spark.implicits._
     val media = Multimodal.synthesize(spark, docs)
