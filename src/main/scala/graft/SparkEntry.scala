@@ -148,6 +148,17 @@ object SparkEntry {
         tieBreak = Some("event_id"))
         .orderBy("event_id")
     }),
+    "asof_join_salted" -> ((s, dir) => { // hot-key variant: partition by
+      // (key, time bucket) + bucket-grain carry; same semantics, same oracle
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.ops.Joins.asofJoinSalted(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        ev.filter(col("event_type") === "click"),
+        key = "user_id", ts = "ts", rightCols = Seq("event_id", "ts", "value"),
+        tieBreak = Some("event_id"), bucketSeconds = 3600L)
+        .orderBy("event_id")
+    }),
     // ----- training-data pipeline ops (documents / embeddings tables) -----
     "curation_pipeline" -> ((s, dir) => // end-to-end curation composition
       graft.ops.Curation.curate(s.read.parquet(s"$dir/documents.parquet"))
@@ -286,6 +297,7 @@ object SparkEntry {
     "semi_join" -> OracleSql.semiJoin,
     "anti_join" -> OracleSql.antiJoin,
     "asof_join" -> OracleSql.asofJoin,
+    "asof_join_salted" -> OracleSql.asofJoin,
     "minhash_pairs" -> OracleSql.minhashVerify,
     "simhash_pairs" -> OracleSql.simhashVerify,
     "lsh_cosine_pairs" -> OracleSql.lshCosineVerify,

@@ -126,6 +126,72 @@ object Joins {
     * `last(payload, ignoreNulls).over(key ORDER BY ts, side ROWS UNBOUNDED
     * PRECEDING)` — a single exchange on `key`, one sort, O(n) merge.
     */
+  /** [[asofJoin]] with coarse-time-bucket salting — the hot-key variant
+    * its scale note proposes. The plain plan serializes a key within ONE
+    * partition (the running-last window sorts and scans every row of the
+    * key serially); here rows partition by (key, time-bucket) so a hot
+    * key's work spreads across buckets, at the cost of a bucket-grain
+    * carry computation:
+    *
+    *  1. per (key, bucket): the last right row of the bucket (one hash
+    *     aggregate — max of a (ts, tiebreak, payload) struct, map-side
+    *     combined, so the exchange carries one row per (key, bucket));
+    *  2. per key: carry-in for each bucket = latest carry from any EARLIER
+    *     bucket (a running-last window over BUCKET-grain rows — thousands
+    *     of times smaller than row grain; this is the only per-key serial
+    *     step left);
+    *  3. per (key, bucket): the same union + running-last merge as the
+    *     unsalted plan, with the carry-in as a synthetic earliest row.
+    *
+    * Row-for-row identical to [[asofJoin]] (agreement-tested incl. a
+    * planted hot key); same tiebreak semantics (max `tieBreak` among
+    * same-instant right rows).
+    */
+  def asofJoinSalted(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String], prefix: String = "r_",
+      tieBreak: Option[String] = None, bucketSeconds: Long = 3600L): DataFrame = {
+    require(bucketSeconds > 0)
+    // NTZ timestamps cannot cast straight to long — go through timestamp
+    def bucketOf(c: Column): Column =
+      floor(c.cast("timestamp").cast("long") / bucketSeconds)
+    val r = right.select(
+        col(key) +: col(ts) +: struct(rightCols.map(col): _*).as("_r") +: Nil: _*)
+      .withColumn("_b", bucketOf(col(ts)))
+    val l = left.withColumn("_b", bucketOf(col(ts))).withColumn("_side", lit(1))
+    // 1. last right row per (key, bucket): struct max = (max ts, then max
+    // tiebreak) — the exact row the unsalted window's `last` would pick.
+    // Struct comparison sorts a null field first, matching asc_nulls_first.
+    val tieCol = tieBreak.map(c => col("_r").getField(c)).getOrElse(lit(0))
+    val carry = r.groupBy(col(key), col("_b"))
+      .agg(max(struct(col(ts).as("_cts"), tieCol.as("_ctie"), col("_r").as("_cr"))).as("_c"))
+    // 2. carry-in per bucket that has ANY row (either side): running last
+    // carry over earlier buckets, at bucket grain.
+    val spine = l.select(col(key), col("_b"))
+      .union(r.select(col(key), col("_b"))).distinct()
+    val wb = Window.partitionBy(key).orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = spine.join(carry, Seq(key, "_b"), "left")
+      .withColumn("_cin", last(col("_c"), ignoreNulls = true).over(wb))
+      .filter(col("_cin").isNotNull)
+      // carry ts is from a strictly earlier bucket, so it orders before
+      // every in-bucket row; _side = -1 makes that explicit
+      .select(col(key), col("_b"), col("_cin").getField("_cts").as(ts),
+        col("_cin").getField("_cr").as("_r"), lit(-1).as("_side"))
+    val rTagged = r.withColumn("_side", lit(0))
+    val unioned = l
+      .unionByName(rTagged, allowMissingColumns = true)
+      .unionByName(carryIn, allowMissingColumns = true)
+    val tieOrder = tieBreak.toSeq.map(c => col("_r").getField(c).asc_nulls_first)
+    val w = Window.partitionBy(col(key), col("_b"))
+      .orderBy(col(ts).asc +: col("_side").asc +: tieOrder: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flat = rightCols.map(c => col(s"_asof.$c").as(s"$prefix$c"))
+    unioned
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1 && col("_asof").isNotNull)
+      .select(left.columns.map(col) ++ flat: _*)
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightCols: Seq[String], prefix: String = "r_",
       tieBreak: Option[String] = None): DataFrame = {

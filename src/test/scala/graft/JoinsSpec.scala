@@ -51,6 +51,31 @@ class JoinsSpec extends SparkSpec {
     assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
   }
 
+  test("asofJoinSalted == asofJoin on events, including a planted hot key") {
+    import spark.implicits._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // plant a hot key: every event re-keyed to user 777 as an extra corpus
+    val hot = ev.withColumn("user_id", lit(777L))
+      .withColumn("event_id", col("event_id") + 1000000L)
+    for (corpus <- Seq(ev, hot)) {
+      val p = corpus.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val c = corpus.filter(col("event_type") === "click")
+      val plain = Joins.asofJoin(p, c, "user_id", "ts",
+        Seq("event_id", "ts", "value"), tieBreak = Some("event_id"))
+      // bucket small enough that the events span MANY buckets (else the
+      // salt degenerates to the unsalted plan and proves nothing)
+      val salted = Joins.asofJoinSalted(p, c, "user_id", "ts",
+        Seq("event_id", "ts", "value"), tieBreak = Some("event_id"),
+        bucketSeconds = 3600L)
+      assert(c.select(floor(col("ts").cast("timestamp").cast("long") / 3600L))
+          .distinct().count() > 5,
+        "fixture spans too few buckets for a meaningful salt test")
+      assert(plain.count() == salted.count())
+      assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+    }
+  }
+
   test("asofJoin plan: exactly one hash exchange, keyed on the join key") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val out = Joins.asofJoin(
