@@ -76,6 +76,22 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinSalted plan: row-grain work partitions by (key, bucket), never key alone") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val out = Joins.asofJoinSalted(
+      ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+      ev.filter(col("event_type") === "click"),
+      "user_id", "ts", Seq("event_id"), bucketSeconds = 3600L)
+    val s = out.queryExecution.executedPlan.toString
+    // the row-grain merge window must exchange on (user_id, _b) — that is
+    // the salt; the only key-alone exchange is the bucket-grain carry
+    // window (tiny by design)
+    assert("hashpartitioning\\(user_id#\\d+L?, _b#\\d+L?".r.findFirstIn(s).nonEmpty,
+      "no (key, bucket) exchange found:\n" + s.take(2000))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s.take(1500))
+  }
+
   test("asofJoin plan: exactly one hash exchange, keyed on the join key") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val out = Joins.asofJoin(
