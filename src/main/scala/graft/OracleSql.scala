@@ -766,6 +766,64 @@ sh AS (
   FROM w
 )"""
 
+  /** lang_id_trained: the ENTIRE trained model re-derived in SQL —
+    * trigram counts, Laplace smoothing, per-doc log-likelihood argmax
+    * (score desc, lang asc tiebreak). Scores are float sums whose order
+    * differs between engines, so the compared column is the argmax;
+    * measured runner-up margins on the fixture corpus are >= 3e-3, seven
+    * orders above double-reordering noise.
+    */
+  val langIdTrained: String = """
+WITH t AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+tri AS (
+  SELECT doc_id, substring(lt, CAST(i AS INT), 3) AS g
+  FROM t, LATERAL unnest(generate_series(1, greatest(len(lt) - 2, 0))) AS u(i)
+),
+tl AS (SELECT tri.doc_id, t.lang, g FROM tri JOIN t USING (doc_id)),
+model AS (SELECT lang AS mlang, g, count(*) AS c FROM tl GROUP BY 1, 2),
+totals AS (SELECT mlang, sum(c) AS tot FROM model GROUP BY 1),
+vocab AS (SELECT count(DISTINCT g) AS v FROM tl),
+langs AS (SELECT DISTINCT lang AS mlang FROM documents),
+scores AS (
+  SELECT d.doc_id, l.mlang,
+    SUM(ln((COALESCE(m.c, 0) + 1.0) / (tt.tot + v.v))) AS score
+  FROM tri d
+  CROSS JOIN langs l
+  LEFT JOIN model m ON m.mlang = l.mlang AND m.g = d.g
+  JOIN totals tt ON tt.mlang = l.mlang
+  CROSS JOIN vocab v
+  GROUP BY d.doc_id, l.mlang
+),
+pred AS (
+  SELECT doc_id, mlang AS lang_pred,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, mlang ASC) AS rn
+  FROM scores)
+SELECT t.doc_id, t.lang, p.lang_pred
+FROM t JOIN pred p ON p.doc_id = t.doc_id AND p.rn = 1
+ORDER BY t.doc_id"""
+
+  /** bpe_token_counts: ws_tokens and the tokens-cover-text invariant
+    * (bpe_chars = sum of word lengths + 4 end-markers per word) re-derived
+    * from the raw text; bpe_tokens is echoed from {OUT} because the merge
+    * table is learned from the corpus (BPE training is not
+    * SQL-expressible — BpeSpec pins it against hand-checked histograms
+    * and a driver-side re-encode of every document).
+    */
+  val bpeTokenCounts: String = """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS ws
+  FROM documents
+)
+SELECT w.doc_id,
+  CAST(len(ws) AS BIGINT) AS ws_tokens,
+  o.bpe_tokens,
+  CAST(list_reduce(list_prepend(0, list_transform(ws, x -> len(x))), (a, b) -> a + b)
+       + 4 * len(ws) AS BIGINT) AS bpe_chars
+FROM w
+JOIN read_parquet('{OUT}/bpe_token_counts/*.parquet') o ON o.doc_id = w.doc_id
+ORDER BY w.doc_id"""
+
   /** minhash_pairs: true 3-gram Jaccard of every emitted pair re-derived
     * from the raw text (est_jaccard passes through — xxhash-dependent).
     */

