@@ -172,6 +172,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("SortMergeJoin") || s.contains("BroadcastHashJoin"), s.take(1500))
   }
 
+  test("trained-model inference is narrow: BPE tokenize and NB classify plan zero Exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = graft.ops.Bpe.trainFromCounts(Seq("the" -> 5L, "then" -> 2L), 5)
+    val sBpe = plan(graft.ops.Bpe.tokenCounts(spark, docs, merges))
+    assert(!sBpe.contains("Exchange"), sBpe.take(1200))
+    val model = graft.ops.LangModel.NbModel(Seq("en"), Map(("en", "the") -> -1.0),
+      Map("en" -> -5.0))
+    val sNb = plan(graft.ops.LangModel.classify(spark, docs, model))
+    assert(!sNb.contains("Exchange"), sNb.take(1200))
+  }
+
   test("whole-stage codegen covers the stateless column stages") {
     val p = TranscriptGen.ensure(spark, "/root/testdata/sf0.001")
     val parsed = ValidationPipeline.parsed(TranscriptGen.readTranscripts(spark, p))
