@@ -218,6 +218,21 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopK(
         s.read.parquet(s"$dir/embeddings.parquet"), k = 10, stride = 50,
         nlist = 16, nprobe = 8).orderBy("q_id", "rank")),
+    "ivf_topk_indexed" -> ((s, dir) => { // persisted-index serving path:
+      // build once (directory-partitioned by list_id), query with static
+      // partition pruning; oracle re-derives cos + rank from {OUT}
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val idx = s"/root/repo/data/ivf_idx_${new java.io.File(dir).getName}"
+      if (!new java.io.File(s"$idx/_GRAFT_READY").exists()) {
+        graft.ops.Similarity.buildIvfIndex(emb, idx, nlist = 16)
+        new java.io.File(idx, "_GRAFT_READY").createNewFile()
+      }
+      graft.ops.Similarity.ivfTopKIndexed(idx,
+        emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding")),
+        k = 10, nprobe = 8)
+        .orderBy("q_id", "rank")
+    }),
     "lsh_cosine_pairs" -> ((s, dir) => // oracle re-derives cos from {OUT}
       graft.ops.Similarity.lshCosinePairs(
         s.read.parquet(s"$dir/embeddings.parquet"), planes = 8, threshold = 0.35)
@@ -312,6 +327,7 @@ object SparkEntry {
     "simhash_pairs" -> OracleSql.simhashVerify,
     "lsh_cosine_pairs" -> OracleSql.lshCosineVerify,
     "ivf_topk" -> OracleSql.ivfVerify,
+    "ivf_topk_indexed" -> OracleSql.ivfIndexedVerify,
     "quantile_approx" -> OracleSql.quantileApprox(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "tool_seq" -> OracleSql.toolSeq(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "grouping_sets_stats" -> OracleSql.groupingSetsStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),

@@ -70,27 +70,12 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** IVF-style ANN, re-planned for scale (round-1 version cost 8x brute
-    * force — cross-join + N×nlist window shuffle + an exchange keyed on 16
-    * list_ids):
-    *
-    *  1. centroids = `nlist` hash-sampled vectors via one
-    *     TakeOrderedAndProject scan (no `count()` pre-scan), collected to
-    *     the driver (nlist rows) and re-emitted as LITERALS;
-    *  2. assignment = per-row argmax over the centroid literals — plain
-    *     projection, ZERO exchange, no window (the centroid scores are
-    *     separate struct elements of one projection, so the shared `v`
-    *     cast/norm aliases are multi-referenced and CollapseProject keeps
-    *     them materialized once per row rather than inlining per score);
-    *  3. probes side (Q × nprobe rows) is BROADCAST into the candidate
-    *     join — the big side never shuffles, and certainly not on a
-    *     16-value key;
-    *  4. the final top-k is the bounded-heap aggregate ([[rankTopK]]):
-    *     partial ObjectHashAggregate caps each task at k rows per query
-    *     before the q_id-keyed exchange (many distinct queries at scale).
+  /** Spherical-k-means centroid training (deterministic hash-sampled
+    * seeds + `kmeansIters` Lloyd refinements); returns the NORMALIZED
+    * centroid matrix. Factored out so [[ivfTopK]] (inline) and
+    * [[buildIvfIndex]] (persistent) train identically.
     */
-  def ivfTopK(emb: DataFrame, k: Int = 10, stride: Int = 50, nlist: Int = 16,
-      nprobe: Int = 4, kmeansIters: Int = 0): DataFrame = {
+  def trainCentroids(emb: DataFrame, nlist: Int, kmeansIters: Int): Seq[Seq[Double]] = {
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     // deterministic pseudo-random centroid sample: nlist smallest by hash
     val cents: Array[(Long, Seq[Double])] = base
@@ -120,7 +105,7 @@ object Similarity {
     // to <= nlist x dim rows before the shuffle, so the exchange is tiny
     // at any corpus size. Means collect as nlist x dim doubles (driver-
     // side matrix, same footprint as the centroid literals themselves).
-    val centsNorm: Seq[Seq[Double]] = (1 to kmeansIters).foldLeft(sampled) {
+    (1 to kmeansIters).foldLeft(sampled) {
       (cn, _) =>
         val dim = cn.head.size
         val sums = base
@@ -141,6 +126,31 @@ object Similarity {
           }
         }
     }
+  }
+
+  /** IVF-style ANN, re-planned for scale (round-1 version cost 8x brute
+    * force — cross-join + N×nlist window shuffle + an exchange keyed on 16
+    * list_ids):
+    *
+    *  1. centroids = `nlist` hash-sampled vectors via one
+    *     TakeOrderedAndProject scan (no `count()` pre-scan), collected to
+    *     the driver (nlist rows) and re-emitted as LITERALS;
+    *  2. assignment = per-row argmax over the centroid literals — plain
+    *     projection, ZERO exchange, no window (the centroid scores are
+    *     separate struct elements of one projection, so the shared `v`
+    *     cast/norm aliases are multi-referenced and CollapseProject keeps
+    *     them materialized once per row rather than inlining per score);
+    *  3. probes side (Q × nprobe rows) is BROADCAST into the candidate
+    *     join — the big side never shuffles, and certainly not on a
+    *     16-value key;
+    *  4. the final top-k is the bounded-heap aggregate ([[rankTopK]]):
+    *     partial ObjectHashAggregate caps each task at k rows per query
+    *     before the q_id-keyed exchange (many distinct queries at scale).
+    */
+  def ivfTopK(emb: DataFrame, k: Int = 10, stride: Int = 50, nlist: Int = 16,
+      nprobe: Int = 4, kmeansIters: Int = 0): DataFrame = {
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val centsNorm = trainCentroids(emb, nlist, kmeansIters)
 
     // per-centroid cosine score structs (probes side only: Q rows)
     def centScores(v: Column, nv: Column): Seq[Column] =
@@ -164,6 +174,67 @@ object Similarity {
       .select(col("q_id"), col("q"), explode(col("probe_lists").getField("c_idx"))
         .as("list_id"))
 
+    rankTopK(
+      assigned.join(broadcast(probes), "list_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), cosine(col("q"), col("v")).as("cos")),
+      k)
+  }
+
+  /** Persist an IVF index: `centroids.parquet` (list_id, centroid) plus
+    * the corpus DIRECTORY-PARTITIONED by list_id. Build once (the
+    * partitionBy write pays a one-time dynamic-partition sort — the known
+    * cost, documented in BENCH notes), query many: probe sets then prune
+    * index partitions at FILE-LISTING time, so each query batch touches
+    * ~nprobe/nlist of the bytes on disk. This is the serving shape of
+    * production ANN systems (index build and query are separate jobs);
+    * [[ivfTopK]] remains the inline form for one-shot queries.
+    */
+  def buildIvfIndex(emb: DataFrame, dir: String, nlist: Int = 16,
+      kmeansIters: Int = 0): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cn = trainCentroids(emb, nlist, kmeansIters)
+    cn.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("list_id",
+        graft.functions.VectorExpr.argmax_dot(col("v"), typedlit(cn)))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/assigned.parquet")
+  }
+
+  /** Query a persisted IVF index (`queries` = (q_id, embedding)): load the
+    * centroid matrix (nlist rows), derive per-query probe lists, filter
+    * the partitioned index to the UNION of probed lists — directory-
+    * partition pruning skips unprobed lists' files entirely (plan-pinned
+    * via the scan's runtime numFiles) — then broadcast the probes and
+    * reduce with the bounded-heap top-k. Identical results to [[ivfTopK]]
+    * under the same centroids (agreement-tested).
+    */
+  def ivfTopKIndexed(indexDir: String, queries: DataFrame, k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cn: Seq[Seq[Double]] = spark.read.parquet(s"$indexDir/centroids.parquet")
+      .orderBy("list_id").select("list_id", "centroid")
+      .collect().map(_.getSeq[Double](1)).toSeq
+    def centScores(v: Column, nv: Column): Seq[Column] =
+      cn.zipWithIndex.map { case (cv, i) =>
+        struct((dot(v, typedlit(cv)) / nv).as("cos"), lit(i).as("c_idx"))
+      }
+    val q = queries.select(col("q_id"), asDouble(col("embedding")).as("q"))
+    val probes = q.withColumn("nq", norm(col("q")))
+      .withColumn("probe_lists",
+        slice(sort_array(array(centScores(col("q"), col("nq")): _*), asc = false),
+          1, nprobe))
+      .select(col("q_id"), col("q"),
+        explode(col("probe_lists").getField("c_idx")).as("list_id"))
+    // bounded driver materialization (<= nlist ints): makes the partition
+    // filter STATIC so pruning happens at file listing, not execution
+    val probedLists: Seq[Int] = probes.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(s"$indexDir/assigned.parquet")
+      .filter(col("list_id").isin(probedLists: _*))
     rankTopK(
       assigned.join(broadcast(probes), "list_id")
         .filter(col("vec_id") =!= col("q_id"))

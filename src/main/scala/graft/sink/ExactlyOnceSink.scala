@@ -117,8 +117,26 @@ final class ExactlyOnceSink(outDir: String) extends Serializable {
     val committed = committedBatches()
     if (committed.isEmpty)
       return spark.emptyDataFrame
-    val df = spark.read.parquet(s"$outDir/$kind")
-      .filter(col("batch_id").isin(committed.toSeq: _*))
+    // Exclude the UNCOMMITTED partitions, not include the committed ones:
+    // the committed set grows with stream LIFETIME (10^5 micro-batches =
+    // a 10^5-literal isin that blows up plan size and analysis time),
+    // while uncommitted = torn/in-flight batches — bounded by concurrent
+    // writers (usually 0–1) no matter how long the stream has run.
+    // batch_id is a directory-partition column either way, so the filter
+    // still prunes at file listing.
+    val present: Set[Long] = {
+      val d = new java.io.File(s"$outDir/$kind")
+      if (!d.exists()) Set.empty
+      else d.listFiles().iterator
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName.stripPrefix("batch_id=").toLong).toSet
+    }
+    val uncommitted = present -- committed
+    if (present.isEmpty) return spark.emptyDataFrame
+    val base = spark.read.parquet(s"$outDir/$kind")
+    val df =
+      if (uncommitted.isEmpty) base
+      else base.filter(!col("batch_id").isin(uncommitted.toSeq: _*))
     kind match {
       case "valid" => df.select("conv_id", "turn_idx", "role", "tool",
         "ts", "text", "reason", "promoted", "batch_id")

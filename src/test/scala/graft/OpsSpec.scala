@@ -174,6 +174,36 @@ class OpsSpec extends SparkSpec {
     assert(mean >= 0.6, s"mean recall $mean")
   }
 
+  test("persisted IVF index: identical to inline ivfTopK; probes prune index partitions") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    Similarity.buildIvfIndex(emb, idx, nlist = 8)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding")
+    val got = Similarity.ivfTopKIndexed(idx, queries, k = 5, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = Similarity.ivfTopK(emb, k = 5, stride = 100, nlist = 8, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == want, s"indexed-only: ${got -- want}; inline-only: ${want -- got}")
+
+    // static partition pruning: one query probing 2 of 8 lists must read
+    // FEWER index files than exist (file-listing-time pruning, not a scan
+    // + filter) — the serving-path property the index exists for
+    val one = emb.filter($"vec_id" === 0).select($"vec_id".as("q_id"), $"embedding")
+    val q1 = Similarity.ivfTopKIndexed(idx, one, k = 5, nprobe = 2)
+    q1.queryExecution.toRdd.count()
+    val scan = flattenPlan(q1.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.partitionSchema.fieldNames.contains("list_id") => f
+    }.head
+    val allFiles = new java.io.File(s"$idx/assigned.parquet").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("list_id="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val readFiles = scan.metrics("numFiles").value
+    assert(readFiles < allFiles && readFiles >= 1,
+      s"expected pruned index read, got $readFiles of $allFiles files")
+  }
+
   test("LSH cosine pairs: identical vectors always collide; output above threshold") {
     import spark.implicits._
     val dup = emb.filter($"vec_id" < 10)
