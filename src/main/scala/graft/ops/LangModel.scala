@@ -45,17 +45,33 @@ object LangModel {
 
   /** One distributed pass: per-(lang, trigram) occurrence counts →
     * Laplace-smoothed log-probabilities.
+    *
+    * @param maxVocab scale guard: a 100 TB multilingual corpus has an
+    *   unbounded distinct-trigram set, so the model keeps only the
+    *   `maxVocab` globally most frequent trigrams (deterministic
+    *   TakeOrdered) — the standard n-gram-profile truncation; below the
+    *   cap (every test corpus) the model is exact and oracle-matched.
     */
   def train(spark: SparkSession, docs: DataFrame, textCol: String = "text",
-      langCol: String = "lang"): NbModel = {
+      langCol: String = "lang", maxVocab: Int = 200000): NbModel = {
     import spark.implicits._
-    val counts: Array[((String, String), Long)] = docs
+    val all = docs
       .select(col(langCol), lower(col(textCol)))
       .as[(String, String)]
       .flatMap { case (lang, lt) => trigramsOf(lt).map(g => (lang, g)) }
-      .groupByKey(identity)
-      .count()
+      .groupBy(col("_1").as("lang"), col("_2").as("g"))
+      .agg(count(lit(1)).as("c"))
+    val kept = all
+      .groupBy("g").agg(sum("c").as("tc"))
+      .orderBy(desc("tc"), asc("g")) // deterministic under ties
+      .limit(maxVocab)
+      .select("g")
+    val counts: Array[((String, String), Long)] = all
+      .join(kept, Seq("g"), "left_semi")
+      .select("lang", "g", "c")
+      .as[(String, String, Long)]
       .collect()
+      .map { case (l, g, c) => ((l, g), c) }
     val totals: Map[String, Long] =
       counts.groupBy(_._1._1).map { case (l, rs) => l -> rs.map(_._2).sum }
     val vocab: Long = counts.map(_._1._2).distinct.length.toLong
