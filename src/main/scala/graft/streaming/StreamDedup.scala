@@ -134,4 +134,102 @@ object StreamDedup {
     else pairs.withWatermark("ts", watermark) // new event-time lineage
       .dropDuplicatesWithinWatermark("doc_a", "doc_b")
   }
+
+  /** One banded hyperplane-code row flowing into a bucket's state. */
+  final case class BandedVec(band: Int, bucket: Long, vec_id: Long,
+      v: Seq[Double], ts: Timestamp)
+
+  final case class VecMember(vec_id: Long, v: Seq[Double])
+
+  final case class VecBucketState(members: List[VecMember], saturated: Boolean)
+
+  /** Near-duplicate vector pair with the EXACT cosine (verified online). */
+  final case class VecNearDupPair(vec_a: Long, vec_b: Long, cos: Double,
+      ts: Timestamp)
+
+  /** The VECTOR counterpart of [[nearDupPairs]]: online embedding near-dup
+    * detection via random-hyperplane LSH. Arriving vectors are coded with
+    * the same native `hyperplane_code` expression as the batch operator,
+    * the code is banded into `bands` bit-blocks, and each (band, block)
+    * bucket keeps its member VECTORS in state so candidates are verified
+    * by EXACT cosine at arrival (sequential summation — bit-identical to
+    * the batch kernel, so the emitted cosines equal
+    * Similarity.lshCosinePairs' on the same pairs; agreement-tested).
+    * With bands = 1 the bucketing is exactly the batch operator's
+    * full-code bucket. Same state bounds as the text op: `maxBucket`
+    * saturation + event-time bucket closure; at-least-once emission per
+    * pair (up to `bands`), collapsible as in [[nearDupPairs]].
+    */
+  def nearDupVectorPairs(spark: SparkSession, emb: DataFrame, planes: Int = 16,
+      bands: Int = 1, threshold: Double = 0.9, maxBucket: Int = 500,
+      watermark: String = "10 minutes", gap: String = "30 minutes",
+      collapsePairs: Boolean = false): Dataset[VecNearDupPair] = {
+    import spark.implicits._
+    require(planes % bands == 0, "bands must divide planes")
+    require(planes <= 63, "hyperplane codes are a single long")
+    val width = planes / bands
+    val mask = (1L << width) - 1
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(iv.months == 0,
+      s"bucket gap must be day/time-based, got month-bearing interval '$gap'")
+    val gapMs = iv.days * 86400000L + iv.microseconds / 1000L
+
+    val coded = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("ts"))
+      .withColumn("code", graft.functions.SketchExpr.hyperplane_code(col("v"), planes))
+    val banded = coded.select(
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => call_function("shiftright", col("code"), b * width).bitwiseAND(mask)))
+          .as(Seq("band", "bucket")),
+        col("vec_id"), col("v"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[BandedVec]
+
+    def cosSeq(a: Seq[Double], b: Seq[Double]): Double = {
+      var dotAB = 0.0; var dotAA = 0.0; var dotBB = 0.0
+      var i = 0
+      while (i < a.length) {
+        dotAB += a(i) * b(i); dotAA += a(i) * a(i); dotBB += b(i) * b(i)
+        i += 1
+      }
+      dotAB / (math.sqrt(dotAA) * math.sqrt(dotBB))
+    }
+
+    val pairs = banded
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[VecBucketState, VecNearDupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[BandedVec], state: GroupState[VecBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(VecBucketState(Nil, saturated = false))
+            var maxTs = Long.MinValue
+            val out = Vector.newBuilder[VecNearDupPair]
+            rows.foreach { d =>
+              if (d.ts != null) maxTs = math.max(maxTs, d.ts.getTime)
+              if (!s.saturated && !s.members.exists(_.vec_id == d.vec_id)) {
+                s.members.foreach { m =>
+                  val c = cosSeq(m.v, d.v)
+                  if (c >= threshold)
+                    out += VecNearDupPair(math.min(m.vec_id, d.vec_id),
+                      math.max(m.vec_id, d.vec_id), c, d.ts)
+                }
+                s =
+                  if (s.members.length + 1 >= maxBucket)
+                    VecBucketState(Nil, saturated = true)
+                  else VecBucketState(VecMember(d.vec_id, d.v) :: s.members, false)
+              }
+            }
+            state.update(s)
+            if (maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+    if (!collapsePairs) pairs
+    else pairs.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("vec_a", "vec_b")
+  }
 }

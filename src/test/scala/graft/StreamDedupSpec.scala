@@ -98,6 +98,43 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("vector near-dup: cross-batch exact-duplicate discovery, batch-operator parity") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.select(col("vec_id"), col("embedding"),
+      (col("vec_id") + TranscriptGen.BaseEpoch).cast("timestamp").as("ts"))
+    val copies = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"),
+        (col("vec_id") + TranscriptGen.BaseEpoch + 60).cast("timestamp").as("ts"))
+    val in = Files.createTempDirectory("graft_sd_vec").toString
+    base.coalesce(1).write.mode("append").parquet(in)
+
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val pairs = StreamDedup.nearDupVectorPairs(spark, stream,
+      planes = 8, bands = 1, threshold = 0.35, maxBucket = 10000)
+    val q = pairs.writeStream.format("memory").queryName("sd_vec")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      copies.coalesce(1).write.mode("append").parquet(in) // later micro-batch
+      q.processAllAvailable()
+      val got = spark.sql("select vec_a, vec_b, cos from sd_vec")
+        .as[(Long, Long, Double)].collect().toSet
+      // every exact copy pairs with its base across the batch boundary
+      (0L until 10L).foreach(id => assert(
+        got.exists(p => p._1 == id && p._2 == id + 10000 && p._3 > 0.999),
+        s"exact-duplicate pair $id missing"))
+      // parity incl. bit-identical cosines with the batch operator
+      val batch = graft.ops.Similarity.lshCosinePairs(
+          base.unionByName(copies).drop("ts"), planes = 8, threshold = 0.35,
+          maxBucket = 10000)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == batch,
+        s"stream-only: ${got -- batch}; batch-only: ${batch -- got}")
+    } finally q.stop()
+  }
+
   test("collapsePairs=true emits each pair exactly once (conf-gated chained dedup)") {
     val in = Files.createTempDirectory("graft_sd_cp").toString
     baseDocs.unionByName(copyDocs).coalesce(1).write.mode("append").parquet(in)
