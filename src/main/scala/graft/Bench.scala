@@ -103,19 +103,49 @@ object Bench {
     (rows, dec, fast)
   }
 
+  /** (busy, steal, total) jiffies from the first /proc/stat line — the VM
+    * exposes hypervisor STEAL accounting, i.e. exactly the external
+    * interference this host's documented noise windows are made of,
+    * independent of our own load.
+    */
+  private def procStat(): Option[(Long, Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val l = try src.getLines().next() finally src.close()
+      val v = l.trim.split("\\s+").drop(1).map(_.toLong)
+      val total = v.sum
+      val idle = v(3) + v.lift(4).getOrElse(0L)
+      Some((total - idle, v.lift(7).getOrElse(0L), total))
+    } catch { case _: Throwable => None }
+
+  final case class ChildRun(rows: Long, dec: Seq[Double], fast: Seq[Double],
+      stealCores: Double, busyCores: Double)
+
   /** Executor-realization child (local-cluster[workers,coresPer] — real
-    * separate executor JVMs, pinned to their nominal core budget);
-    * returns (rows, decideSampleSecs, fastSampleSecs).
+    * separate executor JVMs, pinned to their nominal core budget). Host
+    * steal/busy core-counts are sampled around the child: a SUSTAINED
+    * steal window slows the wide (4x4) phase more than the narrow one —
+    * each sample individually under the ratio re-trigger — so the steal
+    * measurement is the flag the ratio cannot provide.
     */
   private def runClusterChild(workers: Int, coresPer: Int, corpus: String,
-      samples: Int): (Long, Seq[Double], Seq[Double]) = {
+      samples: Int): ChildRun = {
     System.err.println(s"[bench] scaling phase: cluster child $workers x $coresPer")
+    val before = procStat()
     val (rc, out, err) = spawn(
       Seq("graft.ClusterScalingChild", workers.toString, coresPer.toString,
         corpus, samples.toString),
       // the standalone worker's executor launcher needs both of these
       Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13"))
     require(rc == 0, s"cluster child ${workers}x$coresPer failed:\n${err.takeRight(2000)}")
+    val after = procStat()
+    val nCpu = Runtime.getRuntime.availableProcessors()
+    val (stealCores, busyCores) = (before, after) match {
+      case (Some((b0, s0, t0)), Some((b1, s1, t1))) if t1 > t0 =>
+        (nCpu.toDouble * (s1 - s0) / (t1 - t0),
+          nCpu.toDouble * (b1 - b0) / (t1 - t0))
+      case _ => (-1.0, -1.0)
+    }
     val line = out.linesIterator.find(_.startsWith("GRAFT_SCALING")).getOrElse(
       sys.error(s"no GRAFT_SCALING line from cluster child:\n$out"))
     val Array(_, _, rowsS, decS, fastS) = line.trim.split(" ")
@@ -124,8 +154,8 @@ object Bench {
     val rows = rowsS.toLong
     System.err.println(f"[bench] ${workers}x$coresPer executors: decide min ${dec.min}%.2f s " +
       f"(${rows / dec.min}%.0f turns/s); fast min ${fast.min}%.2f s " +
-      f"(${rows / fast.min}%.0f turns/s)")
-    (rows, dec, fast)
+      f"(${rows / fast.min}%.0f turns/s); host steal $stealCores%.1f / busy $busyCores%.1f cores")
+    ChildRun(rows, dec, fast, stealCores, busyCores)
   }
 
   def main(args: Array[String]): Unit = {
@@ -172,7 +202,7 @@ object Bench {
     // Falls back to the thread realization (local[8] vs local[cpus]) if
     // local-cluster cannot launch in this environment.
     val (lowW, highW, coresPer) = (1, 4, 4)
-    val clusterRuns: Option[Seq[(Int, (Long, Seq[Double], Seq[Double]))]] =
+    val clusterRuns: Option[Seq[(Int, ChildRun)]] =
       try Some((1 to nPairs).flatMap { _ =>
         Seq(lowW -> runClusterChild(lowW, coresPer, corpus, decSamples),
           highW -> runClusterChild(highW, coresPer, corpus, decSamples))
@@ -216,6 +246,12 @@ object Bench {
         // RAISES it — the protocol cannot inflate beyond truth.
         var runs = runs0.toVector
         val maxRetries = sys.env.getOrElse("SPARK_GRAFT_SCALING_RETRIES", "4").toInt
+        // steal threshold (cores): above this, the child ran under real
+        // hypervisor steal even if its ratio looks level-typical — a
+        // SUSTAINED steal window slows the wide phase ~uniformly, which
+        // the 1.25x ratio trigger cannot see (measured: a run with all 9
+        // pairs in [0.63, 0.79], every child individually under-trigger).
+        val stealThreshold = sys.env.getOrElse("SPARK_GRAFT_STEAL_CORES", "2.0").toDouble
         var retried = 0
         var converged = false
         // a child whose re-sample spawn itself failed is marked ineligible
@@ -225,18 +261,26 @@ object Bench {
         var ineligible = Set.empty[Int]
         while (!converged && retried < maxRetries) {
           val bestMin: Map[Int, Double] =
-            runs.groupBy(_._1).map { case (w, rs) => w -> rs.map(_._2._2.min).min }
+            runs.groupBy(_._1).map { case (w, rs) => w -> rs.map(_._2.dec.min).min }
           runs.zipWithIndex
-            .filter { case ((w, (_, dec, _)), i) =>
-              !ineligible(i) && dec.min > bestMin(w) * 1.25 }
-            .sortBy { case ((w, (_, dec, _)), _) => -(dec.min / bestMin(w)) }
+            .filter { case ((w, cr), i) =>
+              !ineligible(i) && (cr.dec.min > bestMin(w) * 1.25 ||
+                cr.stealCores > stealThreshold) }
+            .sortBy { case ((w, cr), _) =>
+              -(math.max(cr.dec.min / bestMin(w), 1.0 + cr.stealCores / 100.0)) }
             .headOption match {
-            case Some(((w, (r, dec, fast)), i)) =>
+            case Some(((w, cr), i)) =>
               System.err.println(f"[bench] re-sampling child seq=$i (${w}x$coresPer): " +
-                f"decide min ${dec.min}%.2f s vs level best ${bestMin(w)}%.2f s")
+                f"decide min ${cr.dec.min}%.2f s vs level best ${bestMin(w)}%.2f s, " +
+                f"steal ${cr.stealCores}%.1f cores")
               try {
-                val (_, dec2, fast2) = runClusterChild(w, coresPer, corpus, decSamples)
-                runs = runs.updated(i, (w, (r, dec ++ dec2, fast ++ fast2)))
+                val cr2 = runClusterChild(w, coresPer, corpus, decSamples)
+                // min-of-more samples; the recorded steal is the cleanest
+                // attempt's (the one the min realistically came from)
+                runs = runs.updated(i, (w, cr.copy(
+                  dec = cr.dec ++ cr2.dec, fast = cr.fast ++ cr2.fast,
+                  stealCores = math.min(cr.stealCores, cr2.stealCores),
+                  busyCores = math.min(cr.busyCores, cr2.busyCores))))
               } catch { case e: Throwable =>
                 System.err.println(s"[bench] re-sample failed, skipping child $i: $e")
                 ineligible += i
@@ -245,16 +289,17 @@ object Bench {
             case None => converged = true
           }
         }
-        val rows = runs.head._2._1
+        val rows = runs.head._2.rows
         def tps(ss: Seq[Double]): Double = rows / ss.min
         val lows = runs.filter(_._1 == lowW).map(_._2)
         val highs = runs.filter(_._1 == highW).map(_._2)
-        val pairs = mkPairs(lows.map(r => tps(r._2)), highs.map(r => tps(r._2)),
+        val pairs = mkPairs(lows.map(r => tps(r.dec)), highs.map(r => tps(r.dec)),
           highW.toDouble / lowW)
-        val fastPairs = mkPairs(lows.map(r => tps(r._3)), highs.map(r => tps(r._3)),
+        val fastPairs = mkPairs(lows.map(r => tps(r.fast)), highs.map(r => tps(r.fast)),
           highW.toDouble / lowW)
-        val runsJson = runs.zipWithIndex.map { case ((w, (r, dec, fast)), i) =>
-          s"""{"seq":$i,"workers":$w,"cores_per":$coresPer,"rows":$r,"decide_sec":${dec.mkString("[", ",", "]")},"fast_sec":${fast.mkString("[", ",", "]")}}"""
+        def r1(x: Double): String = if (x < 0) "-1" else f"$x%.1f"
+        val runsJson = runs.zipWithIndex.map { case ((w, cr), i) =>
+          s"""{"seq":$i,"workers":$w,"cores_per":$coresPer,"rows":${cr.rows},"steal_cores":${r1(cr.stealCores)},"busy_cores":${r1(cr.busyCores)},"decide_sec":${cr.dec.mkString("[", ",", "]")},"fast_sec":${cr.fast.mkString("[", ",", "]")}}"""
         }.mkString("[", ",", "]")
         ScalingResult(rows, pairs, fastPairs, runsJson,
           "executors: local-cluster, separate executor JVMs pinned to their core budget, decide formulation (fast variant reported alongside)",
@@ -446,7 +491,7 @@ object Bench {
       s"""{"realization":"${sc.realization}","low":"${sc.lowLabel}","high":"${sc.highLabel}","rows":$rows,"runs":${sc.runsJson},""" +
         s""""pairs":${pairsJson(sc.pairs)},"efficiency":${r4(effMedian)},"efficiency_best":${r4(effBest)},""" +
         s""""fast_pairs":${pairsJson(sc.fastPairs)},"fast_efficiency":${r4(fastEffBest)}$local32Json,""" +
-        s""""resampled_children":${sc.retried},"protocol":"interleaved fresh child JVMs low,high,low,high,…; min-of-$decSamples per child; steal-poisoned children (decide min >1.25x level best) get extra samples merged in, worst-first, bounded; gate efficiency = MEDIAN time-adjacent pair (best reported as diagnostic; per-sample arrays expose any host-noise-poisoned phase)"}"""
+        s""""resampled_children":${sc.retried},"protocol":"interleaved fresh child JVMs low,high,low,high,…; min-of-$decSamples per child; steal-poisoned children (decide min >1.25x level best, OR measured /proc/stat hypervisor steal above the threshold cores — sustained steal slows the wide phase uniformly, invisible to the ratio) get extra samples merged in, worst-first, bounded; gate efficiency = MEDIAN time-adjacent pair (best reported as diagnostic; per-sample arrays + per-child steal/busy cores expose any host-noise-poisoned phase)"}"""
     val streamJson = streamSamples.map { case (t, v) => s"""{"$t":${v.round}}""" }
       .mkString("[", ",", "]")
     val annJson =
