@@ -277,10 +277,14 @@ object Similarity {
     val code = graft.functions.SketchExpr.hyperplane_code(col("v"), planes)
     val coded = base.select(col("vec_id"), code.as("code"))
       .repartition(col("code"))
-    val guarded = coded.withColumn("bn",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("code")))
-      .filter(col("bn") <= maxBucket).drop("bn")
+    // mega-bucket guard as a hash-agg prune + left_semi — the same shape as
+    // Dedup's maxDf prune (map-side-combined aggregate, one count row per
+    // code), NOT a window count, which would sort every (vec_id, code) row
+    // per partition for a guard that only needs per-code counts.
+    // Plan-pinned no-Window in PlanAuditSpec.
+    val underCap = coded.groupBy("code").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket).select("code")
+    val guarded = coded.join(underCap, Seq("code"), "left_semi")
     val cand = guarded.as("a").join(guarded.as("b"),
         col("a.code") === col("b.code") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))

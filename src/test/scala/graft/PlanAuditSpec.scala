@@ -110,6 +110,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("Window"), s.take(2000))
   }
 
+  test("lsh cosine pairs bucket guard is a hash-agg prune, not a window count") {
+    // Same discipline as the text dedup ops: the mega-bucket cap needs one
+    // count per code (map-side-combined aggregate + left_semi), never a
+    // per-partition sort of every (vec_id, code) row.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val s = plan(graft.ops.Similarity.lshCosinePairs(emb, planes = 8, threshold = 0.35))
+    assert(!s.contains("Window"), s.take(2000))
+    assert(s.contains("LeftSemi"), s.take(2000))
+  }
+
   test("directory partition pruning: equality filter reads ONE partition's files") {
     // Hive-style partition layout (the shape of a date-partitioned 100 TB
     // corpus): an equality filter on the partition column must prune at
