@@ -871,13 +871,17 @@ ORDER BY doc_a, doc_b"""
     */
   /** Media container sizes re-derived from (doc_id, n_chars): WAV = 44-byte
     * canonical header + 2 bytes/sample; BMP = 54-byte header + 4-byte-
-    * aligned row stride x height (Multimodal.synthesize/wavFile/bmpFile).
+    * aligned row stride x height; PNG (stored-deflate, single IDAT) =
+    * 68 bytes of sig/IHDR/chunk+zlib overhead + h*(1+3w) raw scanlines
+    * (Multimodal.synthesize/wavFile/bmpFile/pngFile/pngFileLength).
     */
   val multimodalMeta: String = """
 SELECT doc_id,
   CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS media_type,
   CAST(CASE WHEN doc_id % 3 = 0 THEN 44 + 2 * (32 + (n_chars % 96))
-       ELSE 54 + (((5 + doc_id % 8) * 3 + 3) // 4 * 4) * (4 + (n_chars % 5))
+       WHEN doc_id % 3 = 1
+         THEN 54 + (((5 + doc_id % 8) * 3 + 3) // 4 * 4) * (4 + (n_chars % 5))
+       ELSE 68 + (4 + (n_chars % 5)) * (1 + 3 * (5 + doc_id % 8))
        END AS INT) AS n_bytes
 FROM documents ORDER BY doc_id"""
 
@@ -903,10 +907,11 @@ SELECT q_id, vec_id, cos, rank FROM (
 ORDER BY q_id, rank"""
 
   // -------- multimodal_features: full re-derivation of the synth+decode+
-  // extract chain (Multimodal.scala). The media DATA section (BMP pixel
-  // stream / WAV PCM bytes) is a splitmix64 byte stream of doc_id, wrapped
-  // in a REAL container the engine actually parses (header, row padding,
-  // RIFF chunk walk); checksum is a wrapping ck*31+b Long fold over the
+  // extract chain (Multimodal.scala). The media DATA section (BMP/PNG
+  // pixel stream / WAV PCM bytes) is a splitmix64 byte stream of doc_id,
+  // wrapped in a REAL container the engine actually parses (BMP header +
+  // row padding, RIFF chunk walk, PNG via the JDK's ImageIO codec —
+  // inflate + filter reconstruction); checksum is a wrapping ck*31+b Long fold over the
   // decoded content bytes; image feature lane j = sum of pixel bytes at
   // positions ≡ j (mod 16); audio lane j = sum of |int16 sample| over
   // samples ≡ j (mod 16) — integer sums below 2^24, so the engine's
@@ -948,7 +953,9 @@ p AS (SELECT doc_id,
              ELSE (5 + doc_id % 8) * (4 + (n_chars % 5)) * 3
              END AS INT) AS len,
         CAST(CASE WHEN doc_id % 3 = 0 THEN 44 + 2 * (32 + (n_chars % 96))
-             ELSE 54 + (((5 + doc_id % 8) * 3 + 3) // 4 * 4) * (4 + (n_chars % 5))
+             WHEN doc_id % 3 = 1
+               THEN 54 + (((5 + doc_id % 8) * 3 + 3) // 4 * 4) * (4 + (n_chars % 5))
+             ELSE 68 + (4 + (n_chars % 5)) * (1 + 3 * (5 + doc_id % 8))
              END AS INT) AS n_bytes
       FROM documents),
 seed AS (

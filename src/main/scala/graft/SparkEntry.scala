@@ -237,8 +237,10 @@ object SparkEntry {
       graft.ops.Similarity.lshCosinePairs(
         s.read.parquet(s"$dir/embeddings.parquet"), planes = 8, threshold = 0.35)
         .orderBy("vec_a", "vec_b")),
-    "multimodal_features" -> ((s, dir) => { // REAL BMP/WAV decode (header
-      // parse, row-padding strip, RIFF chunk walk); the data sections are
+    "multimodal_features" -> ((s, dir) => { // REAL BMP/WAV/PNG decode (BMP
+      // header parse + row-padding strip, RIFF chunk walk, PNG through the
+      // JDK's ImageIO codec — inflate + filter reconstruction); the data
+      // sections are
       // splitmix64 streams, so the oracle re-derives every feature lane +
       // checksum from (doc_id, n_chars) in DuckDB — a decoder that misreads
       // stride/padding/chunks fails the hash. Features emit as 16 scalar

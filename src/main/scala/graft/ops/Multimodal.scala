@@ -23,12 +23,15 @@ final case class MediaFeatures(
 /** Multimodal-column plumbing: treat image/audio as opaque `binary` columns
   * with typed metadata, process them batch-at-a-time per partition.
   *
-  * The decode step is REAL for the two container formats a pure JVM can
-  * parse with zero dependencies — uncompressed 24-bit BMP (header parse,
-  * bottom-up rows, 4-byte row padding stripped) and RIFF/WAVE PCM16 mono
-  * (chunk walk to `fmt `/`data`, little-endian int16 samples). Formats the
-  * sandbox has no codec for (JPEG, compressed audio, video) fall back to
-  * [[decodeStub]], the one clearly-marked fake left. The execution shape —
+  * The decode step is REAL for every format the JVM can parse with zero
+  * external dependencies: uncompressed 24-bit BMP (hand-rolled header
+  * parse, bottom-up rows, 4-byte row padding stripped), RIFF/WAVE PCM16
+  * mono (chunk walk to `fmt `/`data`, little-endian int16 samples), and —
+  * via the JDK's own `javax.imageio.ImageIO` codecs — PNG, JPEG and GIF
+  * (inflate, filter reconstruction, color-model normalization all done by
+  * the platform decoder). Only formats the JDK genuinely ships no codec
+  * for (video, lossy audio like MP3/Opus) fall back to [[decodeStub]],
+  * the one clearly-marked fake left. The execution shape —
   * schema, binary payload handling, partition-sized batching, the narrow
   * `mapPartitions` loop (the Scala analogue of `mapInPandas`: one
   * buffer-reuse loop per partition, amortizing per-batch model setup) — is
@@ -106,6 +109,116 @@ object Multimodal {
     file
   }
 
+  private def putBE32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >> 24).toByte; b(off + 1) = (v >> 16).toByte
+    b(off + 2) = (v >> 8).toByte; b(off + 3) = v.toByte
+  }
+
+  /** Valid PNG (8-bit truecolor RGB, filter None, STORED deflate blocks):
+    * signature + IHDR + one IDAT + IEND. The zlib stream uses
+    * uncompressed ("stored") deflate blocks — every inflate implementation
+    * must accept them (RFC 1951 §3.2.4), so ImageIO's real PNG pipeline
+    * (inflate → filter reconstruction → color model) decodes this like any
+    * other PNG, while the file size stays a PURE FUNCTION of (w, h)
+    * ([[pngFileLength]]) so the DuckDB oracle re-derives `n_bytes` without
+    * modeling a compressor. `pix` is the RGB pixel stream, row-major
+    * top-down — exactly what [[decodeImage]] returns.
+    */
+  def pngFile(w: Int, h: Int, pix: Array[Byte]): Array[Byte] = {
+    require(pix.length == w * h * 3)
+    // raw scanline data: 1 filter byte (0 = None) + w*3 RGB bytes per row
+    val raw = new Array[Byte](h * (1 + w * 3))
+    var r = 0
+    while (r < h) {
+      System.arraycopy(pix, r * w * 3, raw, r * (1 + w * 3) + 1, w * 3)
+      r += 1
+    }
+    val nBlocks = math.max(1, (raw.length + 65534) / 65535)
+    val zlib = new Array[Byte](2 + 5 * nBlocks + raw.length + 4)
+    zlib(0) = 0x78; zlib(1) = 0x01 // CMF/FLG, (0x7801 % 31 == 0), no dict
+    var src = 0
+    var dst = 2
+    while (src < raw.length || (raw.length == 0 && src == 0)) {
+      val len = math.min(65535, raw.length - src)
+      val fin = src + len >= raw.length
+      zlib(dst) = if (fin) 1 else 0 // BFINAL | BTYPE=00 (stored)
+      zlib(dst + 1) = len.toByte; zlib(dst + 2) = (len >> 8).toByte
+      zlib(dst + 3) = (~len).toByte; zlib(dst + 4) = ((~len) >> 8).toByte
+      System.arraycopy(raw, src, zlib, dst + 5, len)
+      src += len; dst += 5 + len
+      if (len == 0) src = raw.length + 1 // degenerate 0x0 image: one empty block
+    }
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    putBE32(zlib, zlib.length - 4, adler.getValue.toInt)
+
+    val ihdr = new Array[Byte](13)
+    putBE32(ihdr, 0, w); putBE32(ihdr, 4, h)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 2 // color type: truecolor RGB
+    // compression 0, filter 0, interlace 0
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      putBE32(out, 0, data.length)
+      typ.getBytes("US-ASCII").copyToArray(out, 4)
+      System.arraycopy(data, 0, out, 8, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, 4, 4 + data.length)
+      putBE32(out, 8 + data.length, crc.getValue.toInt)
+      out
+    }
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zlib) ++ chunk("IEND", Array.empty)
+  }
+
+  /** [[pngFile]]'s byte length as a pure function of (w, h): raw scanlines
+    * = h*(1+3w); file = 8 (sig) + 25 (IHDR) + [12 + 2 + 5*blocks + raw + 4]
+    * (IDAT with stored-deflate zlib) + 12 (IEND). One block below 64 KiB
+    * of raw — every synthesized test image.
+    */
+  def pngFileLength(w: Int, h: Int): Int = {
+    val raw = h * (1 + w * 3)
+    val nBlocks = math.max(1, (raw + 65534) / 65535)
+    8 + 25 + 12 + 2 + 5 * nBlocks + raw + 4 + 12
+  }
+
+  /** REAL image decode via the JDK's platform codecs: sniffs the container
+    * magic (PNG / JPEG / GIF — the formats `javax.imageio.ImageIO` ships
+    * decoders for in every JDK), hands the payload to ImageIO, and
+    * normalizes the result to the row-major top-down RGB byte stream the
+    * feature/checksum kernels consume. None when the magic is unknown or
+    * the platform decoder rejects the payload.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val isPng = payload.length > 8 && (payload(0) & 0xff) == 0x89 &&
+      payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
+    val isJpeg = payload.length > 3 && (payload(0) & 0xff) == 0xff &&
+      (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff
+    val isGif = payload.length > 6 && payload(0) == 'G' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == '8'
+    if (!isPng && !isJpeg && !isGif) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      val pix = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val p = (y * w + x) * 3
+          pix(p) = (rgb >> 16).toByte // R
+          pix(p + 1) = (rgb >> 8).toByte // G
+          pix(p + 2) = rgb.toByte // B
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, pix))
+    } catch { case _: Throwable => None }
+  }
+
   /** Valid RIFF/WAVE, PCM16 mono @16 kHz: canonical 44-byte header +
     * little-endian samples (`data` = the raw sample bytes).
     */
@@ -142,7 +255,9 @@ object Multimodal {
       } else {
         val w = 5 + (id % 8).toInt // some widths need row padding
         val h = 4 + (nc % 5).toInt
-        MediaRow(id, "image", w, h, "bmp", bmpFile(w, h, genData(id, w * h * 3)))
+        val pix = genData(id, w * h * 3)
+        if (id % 3 == 1) MediaRow(id, "image", w, h, "bmp", bmpFile(w, h, pix))
+        else MediaRow(id, "image", w, h, "png", pngFile(w, h, pix))
       }
     }
   }
@@ -210,10 +325,11 @@ object Multimodal {
     if (fmtOk && data != null) Some(data) else None
   }
 
-  /** STUB decoder — the fallback for container formats the sandbox has no
-    * codec for: derives FeatureDim floats deterministically from the raw
-    * bytes so the plumbing stays testable. A real deployment swaps this
-    * for a JNI/ONNX call; BMP/WAV take the real paths above.
+  /** STUB decoder — the fallback ONLY for formats the JDK genuinely ships
+    * no codec for (video, MP3/Opus): derives FeatureDim floats
+    * deterministically from the raw bytes so the plumbing stays testable.
+    * A real deployment swaps this for a JNI/FFmpeg/ONNX call; BMP/WAV take
+    * the hand-rolled paths and PNG/JPEG/GIF the ImageIO path above.
     */
   private[ops] def decodeStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
@@ -271,7 +387,10 @@ object Multimodal {
                   k += 1
                 }
                 (byteChecksum(dataBytes), audioFeatures(samples))
-              case None => (byteChecksum(m.payload), decodeStub(m.payload))
+              case None => decodeImage(m.payload) match { // PNG/JPEG/GIF via ImageIO
+                case Some((_, _, pix)) => (byteChecksum(pix), imageFeatures(pix))
+                case None => (byteChecksum(m.payload), decodeStub(m.payload))
+              }
             }
           }
           MediaFeatures(m.doc_id, m.media_type, m.payload.length, ck, feats)

@@ -56,6 +56,21 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PNG encode → ImageIO decode roundtrip over random geometries") {
+    // Our stored-deflate encoder, the JDK's REAL PNG pipeline decoding it:
+    // any error in scanline filtering, zlib framing, CRC/Adler, or the
+    // RGB stream order shows up as a pixel mismatch here.
+    for (case_ <- 0 until 100) {
+      val r = rnd(4000 + case_)
+      val w = 1 + (r.next() & 0xf).toInt
+      val h = 1 + (r.next() & 0x7).toInt
+      val pix = Array.tabulate[Byte](w * h * 3)(i => (r.next() >>> (i % 56)).toByte)
+      val Some((dw, dh, got)) = Multimodal.decodeImage(Multimodal.pngFile(w, h, pix))
+      assert((dw, dh) == (w, h) && got.toSeq == pix.toSeq, s"case $case_ w=$w h=$h")
+      assert(Multimodal.pngFile(w, h, pix).length == Multimodal.pngFileLength(w, h))
+    }
+  }
+
   test("WAV encode/decode roundtrip incl. extreme samples") {
     for (case_ <- 0 until 100) {
       val r = rnd(3000 + case_)

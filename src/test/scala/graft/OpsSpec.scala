@@ -249,6 +249,33 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodeWav("RIFFgarbage".getBytes).isEmpty)
   }
 
+  test("PNG decode goes through the JDK ImageIO codec; JPEG/GIF also decode") {
+    val (w, h) = (7, 5)
+    val pix = Array.tabulate[Byte](w * h * 3)(i => (i * 13 + 5).toByte)
+    // PNG: lossless, bit-exact roundtrip through the platform decoder
+    val png = Multimodal.pngFile(w, h, pix)
+    assert(png.length == Multimodal.pngFileLength(w, h))
+    val Some((pw, ph, got)) = Multimodal.decodeImage(png)
+    assert((pw, ph) == (w, h) && got.toSeq == pix.toSeq)
+    // JPEG (lossy) and GIF: encode via ImageIO, decode via our sniffing
+    // path — dimensions must survive; JPEG pixels are approximate by nature
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      img.setRGB(x, y, ((pix(p) & 0xff) << 16) | ((pix(p + 1) & 0xff) << 8) |
+        (pix(p + 2) & 0xff))
+    }
+    for (fmt <- Seq("jpg", "gif")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK cannot encode $fmt")
+      val Some((dw, dh, _)) = Multimodal.decodeImage(bos.toByteArray)
+      assert((dw, dh) == (w, h), s"$fmt dims")
+    }
+    // unknown magic stays on the stub path
+    assert(Multimodal.decodeImage("certainly not an image".getBytes).isEmpty)
+  }
+
   test("multimodal: synthesize + extract is deterministic with fixed shape") {
     import spark.implicits._
     val media = Multimodal.synthesize(spark, docs)
@@ -259,8 +286,10 @@ class OpsSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(spark, Multimodal.synthesize(spark, docs))
       .collect().map(f => f.doc_id -> (f.checksum, f.features.toSeq)).toMap
     rows.foreach(f => assert(again(f.doc_id) == (f.checksum, f.features.toSeq)))
-    // media types split as designed
+    // media types/formats split as designed
     assert(media.filter(_.media_type == "audio").count() == docs.filter(col("doc_id") % 3 === 0).count())
+    assert(media.filter(_.format == "png").count() == docs.filter(col("doc_id") % 3 === 2).count())
+    assert(media.filter(_.format == "bmp").count() == docs.filter(col("doc_id") % 3 === 1).count())
   }
 
   // --------------------------------------------------------- pivot / sampling
