@@ -24,6 +24,25 @@ object SparkEntry {
       .toDF()
       .select("conv_id", "turn_idx", "role", "decision", "reason", "uuid")
 
+  /** Build-once IVF index over `dir`'s embeddings table; returns
+    * (indexPath, buildSeconds — 0.0 when already built). Shared by the
+    * `ivf_topk_indexed` query and the bench, which calls it AHEAD of the
+    * timed region so the query's number is the serving time and the build
+    * cost is reported separately (`ivf_index_build_sec`) — the build/serve
+    * split is the point of a persisted index.
+    */
+  def ensureIvfIndex(s: SparkSession, dir: String): (String, Double) = {
+    val idx = s"/root/repo/data/ivf_idx_${new java.io.File(dir).getName}"
+    if (new java.io.File(s"$idx/_GRAFT_READY").exists()) (idx, 0.0)
+    else {
+      val t0 = System.nanoTime()
+      graft.ops.Similarity.buildIvfIndex(
+        s.read.parquet(s"$dir/embeddings.parquet"), idx, nlist = 16)
+      new java.io.File(idx, "_GRAFT_READY").createNewFile()
+      (idx, (System.nanoTime() - t0) / 1e9)
+    }
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "validate_fused" -> ((s, dir) =>
@@ -218,17 +237,14 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopK(
         s.read.parquet(s"$dir/embeddings.parquet"), k = 10, stride = 50,
         nlist = 16, nprobe = 8).orderBy("q_id", "rank")),
-    "ivf_topk_indexed" -> ((s, dir) => { // persisted-index serving path:
-      // build once (directory-partitioned by list_id), query with static
-      // partition pruning; oracle re-derives cos + rank from {OUT}
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val idx = s"/root/repo/data/ivf_idx_${new java.io.File(dir).getName}"
-      if (!new java.io.File(s"$idx/_GRAFT_READY").exists()) {
-        graft.ops.Similarity.buildIvfIndex(emb, idx, nlist = 16)
-        new java.io.File(idx, "_GRAFT_READY").createNewFile()
-      }
+    "ivf_topk_indexed" -> ((s, dir) => { // persisted-index SERVING path:
+      // build once (directory-partitioned by list_id — [[ensureIvfIndex]],
+      // timed separately by the bench), query with static partition
+      // pruning; oracle re-derives cos + rank from {OUT}
+      val idx = ensureIvfIndex(s, dir)._1
       graft.ops.Similarity.ivfTopKIndexed(idx,
-        emb.filter(col("vec_id") % 50 === 0)
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("q_id"), col("embedding")),
         k = 10, nprobe = 8)
         .orderBy("q_id", "rank")
