@@ -178,6 +178,19 @@ object SparkEntry {
         tieBreak = Some("event_id"), bucketSeconds = 3600L)
         .orderBy("event_id")
     }),
+    "asof_join_auto" -> ((s, dir) => { // skew-aware auto-selection: probes
+      // max per-key rows (one counting agg) and picks salted only past the
+      // hot-key threshold — benign corpora keep the 2x-faster plain plan.
+      // Same semantics either way, same oracle.
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.ops.Joins.asofJoinAuto(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        ev.filter(col("event_type") === "click"),
+        key = "user_id", ts = "ts", rightCols = Seq("event_id", "ts", "value"),
+        tieBreak = Some("event_id"))
+        .orderBy("event_id")
+    }),
     // ----- training-data pipeline ops (documents / embeddings tables) -----
     "curation_pipeline" -> ((s, dir) => // end-to-end curation composition
       graft.ops.Curation.curate(s.read.parquet(s"$dir/documents.parquet"))
@@ -341,6 +354,7 @@ object SparkEntry {
     "anti_join" -> OracleSql.antiJoin,
     "asof_join" -> OracleSql.asofJoin,
     "asof_join_salted" -> OracleSql.asofJoin,
+    "asof_join_auto" -> OracleSql.asofJoin,
     "minhash_pairs" -> OracleSql.minhashVerify,
     "simhash_pairs" -> OracleSql.simhashVerify,
     "lsh_cosine_pairs" -> OracleSql.lshCosineVerify,

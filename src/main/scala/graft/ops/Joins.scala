@@ -192,6 +192,42 @@ object Joins {
       .select(left.columns.map(col) ++ flat: _*)
   }
 
+  /** The [[asofJoin]]/[[asofJoinSalted]] pick, decided from the DATA: the
+    * plain plan serializes each key inside one partition (its running-last
+    * window sorts and scans every row of the key on one task), so it wins
+    * on benign key distributions (no bucket-carry overhead — 2x faster at
+    * the bench corpus) and loses exactly when one key's row count rivals a
+    * whole partition's. The probe is one map-side-combined counting
+    * aggregate over both sides' key columns (exchange carries one row per
+    * distinct key per task; `sampleFraction` < 1 trades exactness for scan
+    * cost at 100 TB — counts scale back up before the threshold compare).
+    * Returns the max per-key row count across the unioned inputs.
+    */
+  def asofMaxKeyRows(left: DataFrame, right: DataFrame, key: String,
+      sampleFraction: Double = 1.0): Long = {
+    val keys = left.select(col(key)).unionAll(right.select(col(key)))
+    val sampled = if (sampleFraction < 1.0) keys.sample(sampleFraction, seed = 42) else keys
+    val m = sampled.groupBy(key).agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    if (sampleFraction < 1.0) (m / sampleFraction).toLong else m
+  }
+
+  /** Skew-aware as-of: probes the key distribution ([[asofMaxKeyRows]])
+    * and picks [[asofJoinSalted]] only past `hotKeyThreshold` rows on one
+    * key — the caller no longer guesses. Row-identical to either branch
+    * (they are agreement-tested against each other); both routes share one
+    * oracle. Default threshold ~ the row count where one key's serial
+    * window scan stops fitting a task's slice of the work (tune per
+    * cluster; any value in the right order of magnitude beats guessing).
+    */
+  def asofJoinAuto(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String], prefix: String = "r_",
+      tieBreak: Option[String] = None, hotKeyThreshold: Long = 1000000L,
+      sampleFraction: Double = 1.0, bucketSeconds: Long = 3600L): DataFrame =
+    if (asofMaxKeyRows(left, right, key, sampleFraction) > hotKeyThreshold)
+      asofJoinSalted(left, right, key, ts, rightCols, prefix, tieBreak, bucketSeconds)
+    else asofJoin(left, right, key, ts, rightCols, prefix, tieBreak)
+
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightCols: Seq[String], prefix: String = "r_",
       tieBreak: Option[String] = None): DataFrame = {

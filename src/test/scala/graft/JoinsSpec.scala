@@ -76,6 +76,43 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinAuto: benign corpus picks plain, planted hot key picks salted; both row-identical") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val hot = ev.withColumn("user_id", lit(777L))
+      .withColumn("event_id", col("event_id") + 1000000L)
+    def sides(corpus: org.apache.spark.sql.DataFrame) = (
+      corpus.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value"),
+      corpus.filter(col("event_type") === "click"))
+    val (pB, cB) = sides(ev)
+    val (pH, cH) = sides(hot)
+    // the probe sees the skew: one key carries the whole planted corpus
+    val benignMax = Joins.asofMaxKeyRows(pB, cB, "user_id")
+    val hotMax = Joins.asofMaxKeyRows(pH, cH, "user_id")
+    assert(hotMax > benignMax * 10, s"benign=$benignMax hot=$hotMax")
+    val threshold = (benignMax + hotMax) / 2 // benign under, hot over
+    // selection: the salted plan exchanges on (key, bucket), plain on key
+    def planOf(p: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      Joins.asofJoinAuto(p, c, "user_id", "ts", Seq("event_id", "ts", "value"),
+        tieBreak = Some("event_id"), hotKeyThreshold = threshold)
+    val sBenign = planOf(pB, cB).queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id#\\d+L?, _b#\\d+L?".r.findFirstIn(sBenign).isEmpty,
+      "benign corpus routed to the salted plan:\n" + sBenign.take(1200))
+    val sHot = planOf(pH, cH).queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id#\\d+L?, _b#\\d+L?".r.findFirstIn(sHot).nonEmpty,
+      "hot corpus did not route to the salted plan:\n" + sHot.take(1200))
+    // both routes produce the as-of answer
+    for ((p, c) <- Seq((pB, cB), (pH, cH))) {
+      val auto = planOf(p, c)
+      val plain = Joins.asofJoin(p, c, "user_id", "ts",
+        Seq("event_id", "ts", "value"), tieBreak = Some("event_id"))
+      assert(auto.exceptAll(plain).isEmpty && plain.exceptAll(auto).isEmpty)
+    }
+    // sampled probe: same order of magnitude on the hot corpus
+    val sampled = Joins.asofMaxKeyRows(pH, cH, "user_id", sampleFraction = 0.5)
+    assert(sampled > hotMax / 4 && sampled < hotMax * 4, s"sampled=$sampled exact=$hotMax")
+  }
+
   test("asofJoinSalted plan: row-grain work partitions by (key, bucket), never key alone") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val out = Joins.asofJoinSalted(
