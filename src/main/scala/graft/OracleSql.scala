@@ -755,6 +755,21 @@ SELECT q_id, vec_id, cos,
   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
 FROM scored ORDER BY q_id, rank"""
 
+  /** Same re-derivation for the incrementally-maintained index (build on
+    * half the corpus, append the rest under frozen centroids).
+    */
+  val ivfAppendedVerify: String = s"""
+WITH p AS (SELECT q_id, vec_id FROM read_parquet('{OUT}/ivf_topk_appended/*.parquet')),
+scored AS (
+  SELECT p.q_id, p.vec_id, ${cosExpr("q.embedding", "e.embedding")} AS cos
+  FROM p
+  JOIN embeddings q ON q.vec_id = p.q_id
+  JOIN embeddings e ON e.vec_id = p.vec_id
+)
+SELECT q_id, vec_id, cos,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+FROM scored ORDER BY q_id, rank"""
+
   /** Same re-derivation for the persisted-index serving path. */
   val ivfIndexedVerify: String = s"""
 WITH p AS (SELECT q_id, vec_id FROM read_parquet('{OUT}/ivf_topk_indexed/*.parquet')),

@@ -262,6 +262,26 @@ object SparkEntry {
         k = 10, nprobe = 8)
         .orderBy("q_id", "rank")
     }),
+    "ivf_topk_appended" -> ((s, dir) => { // incremental-maintenance path:
+      // build on half the corpus, append the other half under the FROZEN
+      // centroids, serve over the grown index — agreement-tested vs the
+      // inline plan under the same centroids; oracle re-derives cos + rank
+      // from {OUT} like the other ANN paths
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val idx = s"/root/repo/data/ivf_idxa_${new java.io.File(dir).getName}"
+      if (!new java.io.File(s"$idx/_GRAFT_READY").exists()) {
+        graft.ops.Similarity.buildIvfIndex(
+          emb.filter(col("vec_id") % 2 === 0), idx, nlist = 16)
+        graft.ops.Similarity.appendIvfIndex(
+          emb.filter(col("vec_id") % 2 =!= 0), idx)
+        new java.io.File(idx, "_GRAFT_READY").createNewFile()
+      }
+      graft.ops.Similarity.ivfTopKIndexed(idx,
+        emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding")),
+        k = 10, nprobe = 8)
+        .orderBy("q_id", "rank")
+    }),
     "lsh_cosine_pairs" -> ((s, dir) => // oracle re-derives cos from {OUT}
       graft.ops.Similarity.lshCosinePairs(
         s.read.parquet(s"$dir/embeddings.parquet"), planes = 8, threshold = 0.35)
@@ -360,6 +380,7 @@ object SparkEntry {
     "lsh_cosine_pairs" -> OracleSql.lshCosineVerify,
     "ivf_topk" -> OracleSql.ivfVerify,
     "ivf_topk_indexed" -> OracleSql.ivfIndexedVerify,
+    "ivf_topk_appended" -> OracleSql.ivfAppendedVerify,
     "quantile_approx" -> OracleSql.quantileApprox(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "tool_seq" -> OracleSql.toolSeq(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "grouping_sets_stats" -> OracleSql.groupingSetsStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),

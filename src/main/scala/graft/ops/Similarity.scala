@@ -148,9 +148,18 @@ object Similarity {
     *     before the q_id-keyed exchange (many distinct queries at scale).
     */
   def ivfTopK(emb: DataFrame, k: Int = 10, stride: Int = 50, nlist: Int = 16,
-      nprobe: Int = 4, kmeansIters: Int = 0): DataFrame = {
+      nprobe: Int = 4, kmeansIters: Int = 0): DataFrame =
+    ivfTopKWithCentroids(emb, trainCentroids(emb, nlist, kmeansIters), k,
+      stride, nprobe)
+
+  /** [[ivfTopK]] under a GIVEN (normalized) centroid matrix — the inline
+    * form the incremental-index agreement test compares against: a built
+    * index plus appended vectors must answer exactly like this over the
+    * full corpus under the index's own centroids.
+    */
+  def ivfTopKWithCentroids(emb: DataFrame, centsNorm: Seq[Seq[Double]],
+      k: Int = 10, stride: Int = 50, nprobe: Int = 4): DataFrame = {
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val centsNorm = trainCentroids(emb, nlist, kmeansIters)
 
     // per-centroid cosine score structs (probes side only: Q rows)
     def centScores(v: Column, nv: Column): Seq[Column] =
@@ -202,6 +211,63 @@ object Similarity {
       .withColumn("list_id",
         graft.functions.VectorExpr.argmax_dot(col("v"), typedlit(cn)))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/assigned.parquet")
+    // build-time quality baseline for the staleness probe: one scan of the
+    // just-written index (a single avg — map-side combined, 1-row result)
+    val q = ivfIndexQuality(spark, dir)
+    Seq((q, emb.count())).toDF("build_quality", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.parquet")
+  }
+
+  /** Load an index's (normalized) centroid matrix — bounded driver
+    * materialization of nlist rows.
+    */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$dir/centroids.parquet")
+      .orderBy("list_id").select("list_id", "centroid")
+      .collect().map(_.getSeq[Double](1)).toSeq
+
+  /** Incremental index maintenance: assign NEW vectors with the index's
+    * EXISTING centroids (serving stays consistent — no silent re-train)
+    * and append them to the list_id partition directories. One narrow
+    * projection + a partitioned append; the existing index bytes are
+    * untouched, so at 100 TB appending a day's corpus costs a scan of the
+    * delta, not the index. Whether the centroids still FIT the grown
+    * corpus is a separate, explicit question — [[ivfNeedsRetrain]].
+    */
+  def appendIvfIndex(newEmb: DataFrame, dir: String): Unit = {
+    val cn = loadCentroids(newEmb.sparkSession, dir)
+    newEmb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("list_id",
+        graft.functions.VectorExpr.argmax_dot(col("v"), typedlit(cn)))
+      .write.mode("append").partitionBy("list_id").parquet(s"$dir/assigned.parquet")
+  }
+
+  /** Mean assignment quality of the CURRENT index contents: avg over rows
+    * of cos(v, centroid[list_id]) — each row pays one dot against its own
+    * stored assignment (no re-argmax), map-side-combined to a single avg.
+    */
+  def ivfIndexQuality(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Double = {
+    val cn = loadCentroids(spark, dir)
+    spark.read.parquet(s"$dir/assigned.parquet")
+      .select((dot(col("v"), element_at(typedlit(cn), col("list_id") + 1))
+        / norm(col("v"))).as("q"))
+      .agg(avg("q")).head().getDouble(0)
+  }
+
+  /** Staleness / re-train trigger: the quality baseline was recorded at
+    * build time over the initial corpus; appended vectors from a DRIFTED
+    * distribution score worse against the frozen centroids, pulling the
+    * mean down. Re-train when the drop exceeds `tolerance` (absolute
+    * cosine). The probe costs one scan of the index — run it per append
+    * batch, not per query.
+    */
+  def ivfNeedsRetrain(spark: org.apache.spark.sql.SparkSession, dir: String,
+      tolerance: Double = 0.05): Boolean = {
+    val built = spark.read.parquet(s"$dir/stats.parquet")
+      .head().getDouble(0)
+    built - ivfIndexQuality(spark, dir) > tolerance
   }
 
   /** Query a persisted IVF index (`queries` = (q_id, embedding)): load the
@@ -215,9 +281,7 @@ object Similarity {
   def ivfTopKIndexed(indexDir: String, queries: DataFrame, k: Int = 10,
       nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
-    val cn: Seq[Seq[Double]] = spark.read.parquet(s"$indexDir/centroids.parquet")
-      .orderBy("list_id").select("list_id", "centroid")
-      .collect().map(_.getSeq[Double](1)).toSeq
+    val cn: Seq[Seq[Double]] = loadCentroids(spark, indexDir)
     def centScores(v: Column, nv: Column): Seq[Column] =
       cn.zipWithIndex.map { case (cv, i) =>
         struct((dot(v, typedlit(cv)) / nv).as("cos"), lit(i).as("c_idx"))
