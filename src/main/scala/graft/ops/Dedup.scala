@@ -146,11 +146,13 @@ object Dedup {
           b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bucket")))
       .repartition(col("band"), col("bucket"))
     // skew guard: a bucket holding >maxBucket docs contributes O(n^2)
-    // pairs and near-zero signal (it's a low-entropy band); cap it.
-    val guarded = banded.withColumn("bn",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bucket")))
-      .filter(col("bn") <= maxBucket).drop("bn")
+    // pairs and near-zero signal (it's a low-entropy band); cap it via a
+    // hash-agg prune + left_semi (one count row per bucket, map-side
+    // combined) — not a window count, which would sort every banded row.
+    val underCap = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket).select("band", "bucket")
+    val guarded = banded.join(underCap, Seq("band", "bucket"), "left_semi")
     val cand = guarded.as("a").join(guarded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -231,10 +233,11 @@ object Dedup {
           b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(0xFFFFL)))
           .as(Seq("block", "key")))
       .repartition(col("block"), col("key"))
-    val guarded = blocks.withColumn("bn",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("block", "key")))
-      .filter(col("bn") <= maxBucket).drop("bn")
+    // hash-agg prune + left_semi, not a window count (see minhashLshPairs)
+    val underCap = blocks.groupBy("block", "key")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket).select("block", "key")
+    val guarded = blocks.join(underCap, Seq("block", "key"), "left_semi")
     val cand = guarded.as("a").join(guarded.as("b"),
         col("a.block") === col("b.block") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))

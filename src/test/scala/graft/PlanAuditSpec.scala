@@ -110,14 +110,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("Window"), s.take(2000))
   }
 
-  test("lsh cosine pairs bucket guard is a hash-agg prune, not a window count") {
-    // Same discipline as the text dedup ops: the mega-bucket cap needs one
-    // count per code (map-side-combined aggregate + left_semi), never a
-    // per-partition sort of every (vec_id, code) row.
+  test("every LSH bucket guard is a hash-agg prune, not a window count") {
+    // The mega-bucket cap needs one count per bucket (map-side-combined
+    // aggregate + left_semi), never a per-partition sort of every banded
+    // row — pinned across all three candidate generators.
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val s = plan(graft.ops.Similarity.lshCosinePairs(emb, planes = 8, threshold = 0.35))
-    assert(!s.contains("Window"), s.take(2000))
-    assert(s.contains("LeftSemi"), s.take(2000))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (s <- Seq(
+        plan(graft.ops.Similarity.lshCosinePairs(emb, planes = 8, threshold = 0.35)),
+        plan(graft.ops.Dedup.minhashLshPairs(docs, numHashes = 64, bands = 16,
+          threshold = 0.2)),
+        plan(graft.ops.Dedup.simhashPairs(docs, maxHamming = 3)))) {
+      assert(!s.contains("Window"), s.take(2000))
+      assert(s.contains("LeftSemi"), s.take(2000))
+    }
   }
 
   test("directory partition pruning: equality filter reads ONE partition's files") {
