@@ -47,4 +47,29 @@ object Curation {
       .join(Sampling.hashSplit(s3).select("doc_id", "split"), Seq("doc_id"))
       .select("doc_id", "split", "ws_tokens", "bpe_ish_tokens")
   }
+
+  /** The MinHash-LSH variant of [[curate]] — the batch counterpart of
+    * `streaming.StreamCuration` (agreement-tested against it): exact dedup
+    * → MinHash-LSH near-dup removal (drop the larger doc_id of each pair —
+    * id order is the batch precedence, arrival order the streaming one) →
+    * language + minimum-length gate. Pairing runs over the FULL corpus
+    * (exact dups share identical signatures, so the drop set is unchanged
+    * vs pairing survivors only — and it matches the stream, whose bucket
+    * state retains every arrival).
+    */
+  def curateMinhash(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxBucket: Int = 100000, lang: String = "en",
+      minTokens: Int = 3): DataFrame = {
+    val s1 = Dedup.exact(docs)
+      .filter(col("keep")).select("doc_id")
+      .join(docs, Seq("doc_id"))
+    val nearDupIds = Dedup.minhashLshPairs(docs, numHashes = numHashes,
+        bands = bands, threshold = threshold, maxBucket = maxBucket)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s2 = s1.join(nearDupIds, Seq("doc_id"), "left_anti")
+    s2.select(col("doc_id"),
+        TextMetrics.langPred(col("text")).as("lang_pred"),
+        TextMetrics.wsTokens(col("text")).as("ws_tokens"))
+      .filter(col("lang_pred") === lang && col("ws_tokens") >= minTokens)
+  }
 }

@@ -64,6 +64,21 @@ object TextMetrics {
       regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
         .as("bpe_ish_tokens"))
 
+  /** [[langId]]'s prediction as a single composable Column — the form the
+    * streaming curation gate uses inline (same arithmetic, same tiebreak;
+    * the repeated `words` split collapses to one evaluation under CSE).
+    */
+  def langPred(text: Column): Column = {
+    val ws = words(text)
+    stopwords.foldLeft((lit(""), lit(-1))) { case ((bl, bh), (lang, sw)) =>
+      val h = size(filter(ws, w => w.isin(sw: _*)))
+      (when(h > bh, lit(lang)).otherwise(bl), when(h > bh, h).otherwise(bh))
+    }._1
+  }
+
+  /** Whitespace token count as a composable Column (= `ws_tokens`). */
+  def wsTokens(text: Column): Column = size(words(text))
+
   /** Stopword-hit language ID: argmax of per-language hit counts, ties
     * broken by language code order (deterministic).
     */
