@@ -484,6 +484,69 @@ object Bench {
       System.err.println(s"[bench] ann bench FAILED: $e"); (-1.0, -1.0, -1.0)
     }
 
+    // ---- phase 5: super-linear-stage stress — the per-query numbers run
+    // at sf0.1 only; this measures how the pair-generating stages SCALE.
+    // Corpora: deterministic replicas of the sf0.1 documents table (replica
+    // 0 = the original; replica k>0 replaces every 3rd word with a
+    // replica-k token, so every 3-shingle window crosses a replaced
+    // position and cross-replica shingle overlap is ZERO — corpus size
+    // scales without planting artificial near-dup cliques, while
+    // intra-replica pair structure mirrors the original). The fitted
+    // log-log exponent shows whether the maxDf/maxBucket caps hold the
+    // candidate stages near-linear (exponent ~1) or quadratic terms leak.
+    val stressScales: Seq[Int] = sys.env.getOrElse("SPARK_GRAFT_STRESS_SCALES", "1,3,10")
+      .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt)
+    def stressCorpus(scale: Int): DataFrame = {
+      val dir = s"/root/repo/data/docs_stress_${new java.io.File(sfDir).getName}_${scale}x"
+      if (!new java.io.File(s"$dir/_GRAFT_READY").exists()) {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        val reps = (0 until scale).map { k =>
+          if (k == 0) docs
+          else docs.select((col("doc_id") + k * 10000000L).as("doc_id"),
+            concat_ws(" ", transform(split(lower(trim(col("text"))), "\\s+"),
+              (w, i) => when(i % 3 === 0, lit(s"xr${k}x")).otherwise(w))).as("text"))
+        }
+        reps.reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite")
+          .option("parquet.enable.dictionary", "false").parquet(s"$dir/documents.parquet")
+        new java.io.File(dir, "_GRAFT_READY").createNewFile()
+      }
+      spark.read.parquet(s"$dir/documents.parquet")
+    }
+    val stressOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "ngram_jaccard" -> ((d: DataFrame) =>
+        graft.ops.Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.05)),
+      "minhash_pairs" -> ((d: DataFrame) =>
+        graft.ops.Dedup.minhashLshPairs(d, numHashes = 64, bands = 16, threshold = 0.2)),
+      "curation_pipeline" -> ((d: DataFrame) => graft.ops.Curation.curate(d)))
+    // ln-ln least-squares slope over the measured points
+    def fitExponent(pts: Seq[(Int, Double)]): Double = {
+      val xs = pts.map(p => math.log(p._1.toDouble))
+      val ys = pts.map(p => math.log(p._2))
+      val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+      val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val den = xs.map(x => (x - mx) * (x - mx)).sum
+      if (den == 0) -1.0 else num / den
+    }
+    val stress: Seq[(String, Seq[(Int, Double)], Double)] =
+      if (stressScales.size < 2) Nil
+      else try {
+        stressScales.foreach(stressCorpus) // generation not billed to op 1
+        stressOps.map { case (name, op) =>
+          val pts = stressScales.map { s =>
+            val sec = timeIt(op(stressCorpus(s)).count())
+            System.err.println(f"[bench] stress $name ${s}x: $sec%.2f s")
+            s -> sec
+          }
+          (name, pts, fitExponent(pts))
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stress phase FAILED: $e"); Nil
+      }
+    stress.foreach { case (n, _, e) =>
+      System.err.println(f"[bench] stress exponent $n: $e%.2f") }
+
     // ---- emit: FULL record to files, COMPACT headline as the final line.
     // The driver's tail capture is 2,000 chars — rounds 1+2 both measured a
     // passing gate that never machine-landed (r1: sbt prefix; r2: a
@@ -511,18 +574,24 @@ object Bench {
     val annJson =
       s"""{"n":$annN,"queries":${annN / 200},"brute_sec":${r3(annBruteSec)},"ivf_sec":${r3(annIvfSec)},"recall_at_10":${r3(annRecall)}}"""
     val fastJson = fastBest.map(_.round.toString).getOrElse("null")
+    val stressJson = stress.map { case (n, pts, e) =>
+      s""""$n":{"sec":${pts.map(p => r3(p._2)).mkString("[", ",", "]")},"exponent":${r3(e)}}"""
+    }.mkString(s"""{"scales":${stressScales.mkString("[", ",", "]")},"ops":{""", ",", "}}")
+    val stressHeadline =
+      if (stress.isEmpty) ""
+      else s""","stress_max_exponent":${r3(stress.map(_._3).max)}"""
     val headline =
       s"""{"metric":"validated_turns_per_sec","value":${valueTps.round},"unit":"turns/sec","sf":"$sfDir","headline_cpus":$cpus,""" +
         s""""efficiency":${r4(effMedian)},"efficiency_best":${r4(effBest)},"fast_turns_per_sec":$fastJson,""" +
         s""""streaming_turns_per_sec":${streamTps.round},"streaming_stateful_turns_per_sec":${streamStatefulTps.round},""" +
         s""""ann100k_brute_sec":${r3(annBruteSec)},"ann100k_ivf_sec":${r3(annIvfSec)},"ann100k_recall":${r3(annRecall)},""" +
-        s""""ivf_index_build_sec":${r3(ivfBuildSec)},""" +
+        s""""ivf_index_build_sec":${r3(ivfBuildSec)}$stressHeadline,""" +
         s""""total_query_sec":${r3(total)},"queries":$qs}"""
     // belt-and-braces: stay comfortably under the driver's 2,000-char tail
     val finalLine = if (headline.length <= 1900) headline
       else headline.replaceAll(""","queries":\{.*\}""", "}")
     val fullJson =
-      s"""{"headline":$headline,"scaling":$scalingJson,"streaming_samples":$streamJson,"ann":$annJson}"""
+      s"""{"headline":$headline,"scaling":$scalingJson,"streaming_samples":$streamJson,"ann":$annJson,"stress":$stressJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/data/bench_last.json"),
       fullJson.getBytes("UTF-8"))
     // The committed run-of-record under BENCH/ is IMMUTABLE by default:
