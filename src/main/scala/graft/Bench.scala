@@ -378,12 +378,16 @@ object Bench {
     // query's number below is pure serving and the (fresh, not cached)
     // build cost is its own metric.
     val ivfBuildSec: Double = try {
-      val idxDir = new java.io.File(
-        s"/root/repo/data/ivf_idx_${new java.io.File(sfDir).getName}")
-      if (idxDir.exists())
-        new scala.reflect.io.Directory(idxDir).deleteRecursively()
+      for (d <- Seq(s"/root/repo/data/ivf_idx_${new java.io.File(sfDir).getName}",
+          s"/root/repo/data/ivf_idxa_${new java.io.File(sfDir).getName}")) {
+        val f = new java.io.File(d)
+        if (f.exists()) new scala.reflect.io.Directory(f).deleteRecursively()
+      }
       val (_, sec) = SparkEntry.ensureIvfIndex(spark, sfDir)
-      System.err.println(f"[bench] ivf index build: $sec%.2f s")
+      // the incremental twin builds+appends here too, so ivf_topk_appended
+      // below also times pure serving
+      val (_, appSec) = SparkEntry.ensureIvfAppendedIndex(spark, sfDir)
+      System.err.println(f"[bench] ivf index build: $sec%.2f s; build+append: $appSec%.2f s")
       sec
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ivf index build FAILED: $e"); -1.0 }

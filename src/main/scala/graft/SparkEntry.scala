@@ -43,6 +43,25 @@ object SparkEntry {
     }
   }
 
+  /** The incremental-maintenance twin of [[ensureIvfIndex]]: build on the
+    * even-vec_id half, append the odd half under the frozen centroids.
+    * Returns (indexPath, buildAndAppendSeconds — 0.0 when cached).
+    */
+  def ensureIvfAppendedIndex(s: SparkSession, dir: String): (String, Double) = {
+    val idx = s"/root/repo/data/ivf_idxa_${new java.io.File(dir).getName}"
+    if (new java.io.File(s"$idx/_GRAFT_READY").exists()) (idx, 0.0)
+    else {
+      val t0 = System.nanoTime()
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), idx, nlist = 16)
+      graft.ops.Similarity.appendIvfIndex(
+        emb.filter(col("vec_id") % 2 =!= 0), idx)
+      new java.io.File(idx, "_GRAFT_READY").createNewFile()
+      (idx, (System.nanoTime() - t0) / 1e9)
+    }
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "validate_fused" -> ((s, dir) =>
@@ -264,20 +283,14 @@ object SparkEntry {
     }),
     "ivf_topk_appended" -> ((s, dir) => { // incremental-maintenance path:
       // build on half the corpus, append the other half under the FROZEN
-      // centroids, serve over the grown index — agreement-tested vs the
-      // inline plan under the same centroids; oracle re-derives cos + rank
-      // from {OUT} like the other ANN paths
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val idx = s"/root/repo/data/ivf_idxa_${new java.io.File(dir).getName}"
-      if (!new java.io.File(s"$idx/_GRAFT_READY").exists()) {
-        graft.ops.Similarity.buildIvfIndex(
-          emb.filter(col("vec_id") % 2 === 0), idx, nlist = 16)
-        graft.ops.Similarity.appendIvfIndex(
-          emb.filter(col("vec_id") % 2 =!= 0), idx)
-        new java.io.File(idx, "_GRAFT_READY").createNewFile()
-      }
+      // centroids ([[ensureIvfAppendedIndex]] — the bench times build+append
+      // in its warmup, so this query measures serving), serve over the
+      // grown index — agreement-tested vs the inline plan under the same
+      // centroids; oracle re-derives cos + rank from {OUT}
+      val idx = ensureIvfAppendedIndex(s, dir)._1
       graft.ops.Similarity.ivfTopKIndexed(idx,
-        emb.filter(col("vec_id") % 50 === 0)
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("q_id"), col("embedding")),
         k = 10, nprobe = 8)
         .orderBy("q_id", "rank")
