@@ -71,6 +71,21 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PNG stored-deflate block split: >64KiB raw crosses a block boundary intact") {
+    // 150x150 RGB: raw scanlines = 150*(1+450) = 67,650 bytes -> TWO
+    // stored blocks; the split must land mid-stream without corrupting
+    // the inflate. (Every synthesized fixture is single-block, so this
+    // path is otherwise unexercised.)
+    val (w, h) = (150, 150)
+    val r = rnd(5000)
+    val pix = Array.tabulate[Byte](w * h * 3)(i => (r.next() >>> (i % 56)).toByte)
+    val file = Multimodal.pngFile(w, h, pix)
+    assert(file.length == Multimodal.pngFileLength(w, h))
+    val Some((dw, dh, got)) = Multimodal.decodeImage(file)
+    assert((dw, dh) == (w, h))
+    assert(java.util.Arrays.equals(got, pix))
+  }
+
   test("WAV encode/decode roundtrip incl. extreme samples") {
     for (case_ <- 0 until 100) {
       val r = rnd(3000 + case_)

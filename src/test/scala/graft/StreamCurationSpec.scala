@@ -97,6 +97,21 @@ class StreamCurationSpec extends SparkSpec {
     assert(fin.size < all)
   }
 
+  test("plan: exactly ONE stateful operator; the state exchange is the only shuffle") {
+    // The design claim: lane fan-out and gate columns are narrow; the
+    // (band, bucket)-keyed state inserts the single exchange; the per-doc
+    // collapse lives in foreachBatch, OUTSIDE the stream plan — so no
+    // second stateful operator for the correctness checker to reject.
+    val docs = spark.readStream
+      .schema("doc_id long, text string, ts timestamp")
+      .parquet(java.nio.file.Files.createTempDirectory("graft_sc_plan").toString)
+    val plan = StreamCuration.verdicts(spark, docs, StreamCuration.Config(
+        inputDir = "", outDir = "", checkpointDir = ""))
+      .queryExecution.analyzed.toString
+    assert("FlatMapGroupsWithState".r.findAllIn(plan).length == 1, plan.take(1500))
+    assert(!plan.contains("Deduplicate"), plan.take(1500))
+  }
+
   test("replayed batch after a torn write is suppressed by the manifest") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_sc_sink").toString
