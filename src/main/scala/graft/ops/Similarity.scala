@@ -218,14 +218,31 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.parquet")
   }
 
+  /** Resolve an index directory to its ACTIVE version: a `CURRENT`
+    * pointer file (written atomically by [[rebuildIvfIndex]]) names the
+    * live `versions/v<N>` snapshot; absent, the directory itself is the
+    * index (the flat layout [[buildIvfIndex]] writes). Versions are
+    * immutable once superseded — a reader that resolved mid-rebuild keeps
+    * a consistent file set (snapshot isolation by immutability), and the
+    * pointer swap is the only mutation.
+    */
+  def resolveIndex(dir: String): String = {
+    val cur = new java.io.File(dir, "CURRENT")
+    if (!cur.exists()) dir
+    else s"$dir/versions/" + new String(
+      java.nio.file.Files.readAllBytes(cur.toPath), "UTF-8").trim
+  }
+
   /** Load an index's (normalized) centroid matrix — bounded driver
     * materialization of nlist rows.
     */
   def loadCentroids(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[Seq[Double]] =
-    spark.read.parquet(s"$dir/centroids.parquet")
+      dir: String): Seq[Seq[Double]] = {
+    val p = resolveIndex(dir)
+    spark.read.parquet(s"$p/centroids.parquet")
       .orderBy("list_id").select("list_id", "centroid")
       .collect().map(_.getSeq[Double](1)).toSeq
+  }
 
   /** Incremental index maintenance: assign NEW vectors with the index's
     * EXISTING centroids (serving stays consistent — no silent re-train)
@@ -236,11 +253,57 @@ object Similarity {
     * corpus is a separate, explicit question — [[ivfNeedsRetrain]].
     */
   def appendIvfIndex(newEmb: DataFrame, dir: String): Unit = {
+    val p = resolveIndex(dir)
     val cn = loadCentroids(newEmb.sparkSession, dir)
     newEmb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("list_id",
         graft.functions.VectorExpr.argmax_dot(col("v"), typedlit(cn)))
-      .write.mode("append").partitionBy("list_id").parquet(s"$dir/assigned.parquet")
+      .write.mode("append").partitionBy("list_id").parquet(s"$p/assigned.parquet")
+  }
+
+  /** The response to a tripped [[ivfNeedsRetrain]]: re-train centroids
+    * over the FULL current corpus (read back from the index itself — one
+    * scan), build a fresh immutable snapshot under `versions/v<N+1>`, and
+    * repoint `CURRENT` with an atomic rename. Old versions stay on disk
+    * untouched (in-flight readers keep a consistent snapshot; cleanup is
+    * an explicit retention job, as in any production index store). At
+    * 100 TB the rebuild costs what the original build cost — which is why
+    * it hides behind the cheap staleness probe instead of running per
+    * append.
+    */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nlist: Int = 16, kmeansIters: Int = 0): String = {
+    val cur = resolveIndex(dir)
+    val corpus = spark.read.parquet(s"$cur/assigned.parquet")
+      .select(col("vec_id"), col("v").as("embedding"))
+    val nextV = {
+      val f = new java.io.File(dir, "CURRENT")
+      if (!f.exists()) 1
+      else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .trim.stripPrefix("v").toInt + 1
+    }
+    val vName = s"v$nextV"
+    buildIvfIndex(corpus, s"$dir/versions/$vName", nlist, kmeansIters)
+    val tmp = java.nio.file.Paths.get(dir, ".CURRENT_tmp")
+    java.nio.file.Files.write(tmp, vName.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    vName
+  }
+
+  /** The full maintenance step a production pipeline runs per delta
+    * batch: append under frozen centroids, probe staleness, retrain +
+    * atomically swap when the corpus has drifted past `tolerance`.
+    * Returns true when a retrain happened.
+    */
+  def maintainIvfIndex(newEmb: DataFrame, dir: String,
+      tolerance: Double = 0.05, nlist: Int = 16,
+      kmeansIters: Int = 0): Boolean = {
+    appendIvfIndex(newEmb, dir)
+    val spark = newEmb.sparkSession
+    if (!ivfNeedsRetrain(spark, dir, tolerance)) false
+    else { rebuildIvfIndex(spark, dir, nlist, kmeansIters); true }
   }
 
   /** Mean assignment quality of the CURRENT index contents: avg over rows
@@ -249,8 +312,9 @@ object Similarity {
     */
   def ivfIndexQuality(spark: org.apache.spark.sql.SparkSession,
       dir: String): Double = {
+    val p = resolveIndex(dir)
     val cn = loadCentroids(spark, dir)
-    spark.read.parquet(s"$dir/assigned.parquet")
+    spark.read.parquet(s"$p/assigned.parquet")
       .select((dot(col("v"), element_at(typedlit(cn), col("list_id") + 1))
         / norm(col("v"))).as("q"))
       .agg(avg("q")).head().getDouble(0)
@@ -265,7 +329,7 @@ object Similarity {
     */
   def ivfNeedsRetrain(spark: org.apache.spark.sql.SparkSession, dir: String,
       tolerance: Double = 0.05): Boolean = {
-    val built = spark.read.parquet(s"$dir/stats.parquet")
+    val built = spark.read.parquet(s"${resolveIndex(dir)}/stats.parquet")
       .head().getDouble(0)
     built - ivfIndexQuality(spark, dir) > tolerance
   }
@@ -281,7 +345,10 @@ object Similarity {
   def ivfTopKIndexed(indexDir: String, queries: DataFrame, k: Int = 10,
       nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
-    val cn: Seq[Seq[Double]] = loadCentroids(spark, indexDir)
+    // resolve ONCE: centroids and partitions must come from the same
+    // immutable snapshot even if a rebuild swaps CURRENT mid-planning
+    val snap = resolveIndex(indexDir)
+    val cn: Seq[Seq[Double]] = loadCentroids(spark, snap)
     def centScores(v: Column, nv: Column): Seq[Column] =
       cn.zipWithIndex.map { case (cv, i) =>
         struct((dot(v, typedlit(cv)) / nv).as("cos"), lit(i).as("c_idx"))
@@ -297,7 +364,7 @@ object Similarity {
     // filter STATIC so pruning happens at file listing, not execution
     val probedLists: Seq[Int] = probes.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val assigned = spark.read.parquet(s"$indexDir/assigned.parquet")
+    val assigned = spark.read.parquet(s"$snap/assigned.parquet")
       .filter(col("list_id").isin(probedLists: _*))
     rankTopK(
       assigned.join(broadcast(probes), "list_id")

@@ -243,12 +243,39 @@ class OpsSpec extends SparkSpec {
       .map { case (id, e) =>
         val v = e.toArray
         basis.foreach { b => val d = dotA(v, b); v.indices.foreach(i => v(i) -= d * b(i)) }
-        (id + 1000000L, v.toSeq)
+        // +1000001 keeps drifted ids OFF the stride-100 query grid, so the
+        // inline comparison below derives the same query set as `queries`
+        (id + 1000001L, v.toSeq)
       }
       .filter { case (_, v) => dotA(v.toArray, v.toArray) > 1e-12 }
       .toDF("vec_id", "embedding")
     Similarity.appendIvfIndex(drifted, idx)
     assert(Similarity.ivfNeedsRetrain(spark, idx, tolerance = 0.05))
+    // the response: retrain over the full current corpus into an
+    // immutable versions/vN snapshot + atomic CURRENT swap
+    val v = Similarity.rebuildIvfIndex(spark, idx, nlist = 8)
+    assert(v == "v1")
+    assert(!Similarity.ivfNeedsRetrain(spark, idx, tolerance = 0.05))
+    // serving resolves through CURRENT and agrees with the inline plan
+    // under the RETRAINED centroids over the grown corpus
+    val cn2 = Similarity.loadCentroids(spark, idx)
+    assert(cn2 != cn, "rebuild did not retrain centroids")
+    val full = emb.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      .unionByName(drifted)
+    val got2 = Similarity.ivfTopKIndexed(idx, queries, k = 5, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // the inline form derives its queries by stride over the FULL corpus
+    // (which pulls in some drifted ids); compare on the original query set
+    val want2 = Similarity.ivfTopKWithCentroids(full, cn2, k = 5, stride = 100, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+      .filter(_._1 < 1000000)
+    assert(got2 == want2, s"indexed-only: ${got2 -- want2}; inline-only: ${want2 -- got2}")
+    // the superseded flat snapshot is untouched (readers mid-query keep
+    // a consistent file set)
+    assert(new java.io.File(s"$idx/centroids.parquet").exists())
+    // a second rebuild bumps the version
+    assert(Similarity.rebuildIvfIndex(spark, idx, nlist = 8) == "v2")
+    assert(Similarity.resolveIndex(idx).endsWith("versions/v2"))
   }
 
   test("LSH cosine pairs: identical vectors always collide; output above threshold") {
