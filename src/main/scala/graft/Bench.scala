@@ -378,8 +378,8 @@ object Bench {
     // query's number below is pure serving and the (fresh, not cached)
     // build cost is its own metric.
     val ivfBuildSec: Double = try {
-      for (d <- Seq(s"/root/repo/data/ivf_idx_${new java.io.File(sfDir).getName}",
-          s"/root/repo/data/ivf_idxa_${new java.io.File(sfDir).getName}")) {
+      for (d <- Seq(SparkEntry.ivfIndexPath(sfDir),
+          SparkEntry.ivfAppendedIndexPath(sfDir))) {
         val f = new java.io.File(d)
         if (f.exists()) new scala.reflect.io.Directory(f).deleteRecursively()
       }

@@ -30,19 +30,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+    def inject(name: String, arity: Int,
+        builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        es => {
+          if (es.length != arity) throw new IllegalArgumentException(
+            s"$name expects $arity argument(s), got ${es.length}")
+          builder(es)
+        }))
     // vector kernels
-    inject("dot_f64", es => DotProduct(es(0), es(1)))
-    inject("cosine_sim", es => CosineSim(es(0), es(1)))
-    inject("argmax_dot", es => ArgmaxDotExpr(es(0), es(1)))
+    inject("dot_f64", 2, es => DotProduct(es(0), es(1)))
+    inject("cosine_sim", 2, es => CosineSim(es(0), es(1)))
+    inject("argmax_dot", 2, es => ArgmaxDotExpr(es(0), es(1)))
     // checksum validators
-    inject("luhn_check", es => LuhnCheck(es.head))
-    inject("abn_check", es => AbnCheck(es.head))
+    inject("luhn_check", 1, es => LuhnCheck(es.head))
+    inject("abn_check", 1, es => AbnCheck(es.head))
     // sketches (static size params as literals)
-    inject("minhash_sig", es => MinHashSig(es(0), intLit(es(1), "numHashes")))
-    inject("simhash64", es => SimHash64(es.head))
-    inject("hyperplane_code", es => HyperplaneCode(es(0), intLit(es(1), "planes")))
+    inject("minhash_sig", 2, es => MinHashSig(es(0), intLit(es(1), "numHashes")))
+    inject("simhash64", 1, es => SimHash64(es.head))
+    inject("hyperplane_code", 2, es => HyperplaneCode(es(0), intLit(es(1), "planes")))
   }
 }

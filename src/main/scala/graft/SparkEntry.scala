@@ -31,8 +31,14 @@ object SparkEntry {
     * cost is reported separately (`ivf_index_build_sec`) — the build/serve
     * split is the point of a persisted index.
     */
+  def ivfIndexPath(dir: String): String =
+    s"/root/repo/data/ivf_idx_${new java.io.File(dir).getName}"
+
+  def ivfAppendedIndexPath(dir: String): String =
+    s"/root/repo/data/ivf_idxa_${new java.io.File(dir).getName}"
+
   def ensureIvfIndex(s: SparkSession, dir: String): (String, Double) = {
-    val idx = s"/root/repo/data/ivf_idx_${new java.io.File(dir).getName}"
+    val idx = ivfIndexPath(dir)
     if (new java.io.File(s"$idx/_GRAFT_READY").exists()) (idx, 0.0)
     else {
       val t0 = System.nanoTime()
@@ -48,7 +54,7 @@ object SparkEntry {
     * Returns (indexPath, buildAndAppendSeconds — 0.0 when cached).
     */
   def ensureIvfAppendedIndex(s: SparkSession, dir: String): (String, Double) = {
-    val idx = s"/root/repo/data/ivf_idxa_${new java.io.File(dir).getName}"
+    val idx = ivfAppendedIndexPath(dir)
     if (new java.io.File(s"$idx/_GRAFT_READY").exists()) (idx, 0.0)
     else {
       val t0 = System.nanoTime()

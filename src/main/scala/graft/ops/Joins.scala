@@ -207,8 +207,12 @@ object Joins {
       sampleFraction: Double = 1.0): Long = {
     val keys = left.select(col(key)).unionAll(right.select(col(key)))
     val sampled = if (sampleFraction < 1.0) keys.sample(sampleFraction, seed = 42) else keys
-    val m = sampled.groupBy(key).agg(count(lit(1)).as("n"))
-      .agg(max("n")).head().getLong(0)
+    // empty (or sampled-to-empty) input: the global max aggregates no
+    // groups and yields a null row — that is "no hot key", not a crash
+    val row = sampled.groupBy(key).agg(count(lit(1)).as("n"))
+      .agg(max("n")).head()
+    if (row.isNullAt(0)) return 0L
+    val m = row.getLong(0)
     if (sampleFraction < 1.0) (m / sampleFraction).toLong else m
   }
 

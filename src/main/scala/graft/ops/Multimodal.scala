@@ -216,7 +216,7 @@ object Multimodal {
         y += 1
       }
       Some((w, h, pix))
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None } // fatal VM errors propagate
   }
 
   /** Valid RIFF/WAVE, PCM16 mono @16 kHz: canonical 44-byte header +

@@ -212,9 +212,15 @@ object Similarity {
         graft.functions.VectorExpr.argmax_dot(col("v"), typedlit(cn)))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/assigned.parquet")
     // build-time quality baseline for the staleness probe: one scan of the
-    // just-written index (a single avg — map-side combined, 1-row result)
-    val q = ivfIndexQuality(spark, dir)
-    Seq((q, emb.count())).toDF("build_quality", "n")
+    // just-written index, avg + count in the SAME aggregate (no separate
+    // emb.count() pass — at index-build scale an extra corpus scan is real
+    // money for a value the probe can get from rows it already reads)
+    val st = spark.read.parquet(s"$dir/assigned.parquet")
+      .select((dot(col("v"), element_at(typedlit(cn), col("list_id") + 1))
+        / norm(col("v"))).as("q"))
+      .agg(avg("q").as("build_quality"), count(lit(1)).as("n"))
+      .head()
+    Seq((st.getDouble(0), st.getLong(1))).toDF("build_quality", "n")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.parquet")
   }
 
@@ -253,8 +259,10 @@ object Similarity {
     * corpus is a separate, explicit question — [[ivfNeedsRetrain]].
     */
   def appendIvfIndex(newEmb: DataFrame, dir: String): Unit = {
+    // resolve ONCE: centroids and the append target must come from the
+    // same snapshot even if a rebuild swaps CURRENT between the two
     val p = resolveIndex(dir)
-    val cn = loadCentroids(newEmb.sparkSession, dir)
+    val cn = loadCentroids(newEmb.sparkSession, p)
     newEmb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("list_id",
         graft.functions.VectorExpr.argmax_dot(col("v"), typedlit(cn)))
@@ -276,15 +284,27 @@ object Similarity {
     val cur = resolveIndex(dir)
     val corpus = spark.read.parquet(s"$cur/assigned.parquet")
       .select(col("vec_id"), col("v").as("embedding"))
-    val nextV = {
+    // next FREE version: read CURRENT+1, then skip any directory a crashed
+    // or concurrent rebuild already created — a retried rebuild never
+    // writes into a half-built snapshot. (The pointer swap below is the
+    // only mutation; maintenance assumes ONE ACTIVE REBUILDER per index —
+    // the standard single-writer index-store contract — and this guard
+    // keeps even a violated assumption from corrupting a published
+    // version: the loser of a CURRENT race publishes a complete snapshot,
+    // never a torn one.)
+    var nextV = {
       val f = new java.io.File(dir, "CURRENT")
       if (!f.exists()) 1
       else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         .trim.stripPrefix("v").toInt + 1
     }
+    while (new java.io.File(s"$dir/versions/v$nextV").exists()) nextV += 1
     val vName = s"v$nextV"
     buildIvfIndex(corpus, s"$dir/versions/$vName", nlist, kmeansIters)
-    val tmp = java.nio.file.Paths.get(dir, ".CURRENT_tmp")
+    // unique tmp name: two concurrent swappers must not clobber each
+    // other's pending pointer content before their ATOMIC_MOVE
+    val tmp = java.nio.file.Paths.get(dir,
+      s".CURRENT_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     java.nio.file.Files.write(tmp, vName.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "CURRENT"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -312,8 +332,8 @@ object Similarity {
     */
   def ivfIndexQuality(spark: org.apache.spark.sql.SparkSession,
       dir: String): Double = {
-    val p = resolveIndex(dir)
-    val cn = loadCentroids(spark, dir)
+    val p = resolveIndex(dir) // once — centroids + rows from one snapshot
+    val cn = loadCentroids(spark, p)
     spark.read.parquet(s"$p/assigned.parquet")
       .select((dot(col("v"), element_at(typedlit(cn), col("list_id") + 1))
         / norm(col("v"))).as("q"))

@@ -49,7 +49,17 @@ final class ManifestSink(outDir: String) extends Serializable {
         .filter(_.forall(_.isDigit)).map(_.toLong).toSet
     }
     val uncommitted = present -- committed
-    val all = spark.read.parquet(s"$outDir/data")
+    val committedPresent = present -- uncommitted
+    if (committedPresent.isEmpty) return spark.emptyDataFrame
+    // Schema comes from ONE committed batch dir, then is passed explicitly:
+    // schema INFERENCE over the whole data/ dir would sample footers of
+    // torn files in uncommitted dirs and could throw — violating
+    // "readers see committed batches only" before the partition filter
+    // (which prunes those dirs at file listing) ever runs.
+    val schema = spark.read
+      .parquet(s"$outDir/data/batch_id=${committedPresent.head}").schema
+    val all = spark.read.schema(schema.add("batch_id", "long"))
+      .parquet(s"$outDir/data")
     if (uncommitted.isEmpty) all
     else all.filter(!col("batch_id").isin(uncommitted.toSeq: _*))
   }

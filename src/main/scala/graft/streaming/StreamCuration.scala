@@ -41,9 +41,13 @@ final case class CurBucketState(members: List[CurMember], saturated: Boolean)
   * an exact or near duplicate — arrival order is the streaming analogue of
   * the batch rule "keep the smallest doc_id". Within a micro-batch, lane
   * processing sorts by doc_id, so ingesting a corpus in id order
-  * reproduces the batch survivor set EXACTLY (agreement-tested, incl.
-  * checkpoint stop/resume); out-of-id-order ingest is still correct
-  * online curation, just with arrival precedence.
+  * reproduces the batch survivor set EXACTLY *below the bucket cap*
+  * (agreement-tested, incl. checkpoint stop/resume); out-of-id-order
+  * ingest is still correct online curation, just with arrival precedence.
+  * The cap itself diverges by necessity (same law as [[StreamDedup]]):
+  * batch excludes an over-`maxBucket` bucket RETROACTIVELY — it sees the
+  * full corpus — while a stream can only saturate PROSPECTIVELY, so docs
+  * that matched a member before the bucket crossed the cap stay dropped.
   *
   * State law (same as [[StreamDedup]]): bounded by ACTIVE buckets x
   * maxBucket signatures, saturation frees members prospectively,
