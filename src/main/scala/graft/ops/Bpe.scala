@@ -147,4 +147,22 @@ object Bpe {
       }
       .toDF("doc_id", "ws_tokens", "bpe_tokens", "bpe_chars")
   }
+
+  /** Persist a trained merge table — the train-once/serve-many split (the
+    * same production shape as the persisted IVF index): train on the big
+    * corpus once, load the tiny ordered table in every serving job. Rank
+    * is stored explicitly because merge ORDER is the model — applying the
+    * same rules in a different order tokenizes differently.
+    */
+  def saveMerges(spark: SparkSession, merges: Seq[(String, String)],
+      dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def loadMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
+    spark.read.parquet(dir).orderBy("rank").select("left", "right")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 }

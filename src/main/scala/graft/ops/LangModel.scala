@@ -114,4 +114,25 @@ object LangModel {
   /** Train + classify in one call (the `lang_id_trained` query). */
   def langIdTrained(spark: SparkSession, docs: DataFrame): DataFrame =
     classify(spark, docs, train(spark, docs))
+
+  /** Persist a trained model — train-once/serve-many, like the BPE merge
+    * table and the IVF index. Two tiny tables: the (lang, trigram) → logp
+    * matrix and the per-lang unseen-mass row (langs derive from it).
+    */
+  def save(spark: SparkSession, model: NbModel, dir: String): Unit = {
+    import spark.implicits._
+    model.logp.toSeq.map { case ((l, g), p) => (l, g, p) }
+      .toDF("lang", "trigram", "logp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/logp.parquet")
+    model.unseen.toSeq.toDF("lang", "logp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/unseen.parquet")
+  }
+
+  def load(spark: SparkSession, dir: String): NbModel = {
+    val unseen = spark.read.parquet(s"$dir/unseen.parquet")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val logp = spark.read.parquet(s"$dir/logp.parquet")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    NbModel(unseen.keys.toSeq.sorted, logp, unseen)
+  }
 }

@@ -76,6 +76,17 @@ class BpeSpec extends SparkSpec {
     assert(t >= w && t < c)
   }
 
+  test("merge table save/load roundtrip preserves order and tokenization") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_model").toString
+    val merges = graft.ops.Bpe.train(docs, numMerges = 50, maxWords = 5000)
+    graft.ops.Bpe.saveMerges(spark, merges, dir)
+    val loaded = graft.ops.Bpe.loadMerges(spark, dir)
+    assert(loaded == merges) // ORDER is the model
+    val a = graft.ops.Bpe.tokenCounts(spark, docs, merges).collect().map(_.toSeq).toSet
+    val b = graft.ops.Bpe.tokenCounts(spark, docs, loaded).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("training is deterministic and word-histogram order-independent") {
     val m1 = Bpe.train(docs, numMerges = 50, maxWords = 5000)
     val m2 = Bpe.train(docs.repartition(13), numMerges = 50, maxWords = 5000)

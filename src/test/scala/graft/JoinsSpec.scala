@@ -111,6 +111,12 @@ class JoinsSpec extends SparkSpec {
     // sampled probe: same order of magnitude on the hot corpus
     val sampled = Joins.asofMaxKeyRows(pH, cH, "user_id", sampleFraction = 0.5)
     assert(sampled > hotMax / 4 && sampled < hotMax * 4, s"sampled=$sampled exact=$hotMax")
+    // empty inputs: the probe reports "no hot key" (0), never crashes —
+    // the auto join then behaves like the plain join on empty frames
+    val none = pB.filter(lit(false))
+    assert(Joins.asofMaxKeyRows(none, cB.filter(lit(false)), "user_id") == 0L)
+    assert(Joins.asofJoinAuto(none, cB.filter(lit(false)), "user_id", "ts",
+      Seq("event_id", "ts", "value")).count() == 0L)
   }
 
   test("asofJoinSalted plan: row-grain work partitions by (key, bucket), never key alone") {

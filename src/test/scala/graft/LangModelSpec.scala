@@ -41,6 +41,17 @@ class LangModelSpec extends SparkSpec {
     assert(acc > 2.0 / nLangs, s"accuracy $acc vs random ${1.0 / nLangs}")
   }
 
+  test("model save/load roundtrip: identical model, identical predictions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nb_model").toString
+    val model = graft.ops.LangModel.train(spark, docs)
+    graft.ops.LangModel.save(spark, model, dir)
+    val loaded = graft.ops.LangModel.load(spark, dir)
+    assert(loaded == model)
+    val a = graft.ops.LangModel.classify(spark, docs, model).collect().map(_.toSeq).toSet
+    val b = graft.ops.LangModel.classify(spark, docs, loaded).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("training and classification are deterministic across partitionings") {
     import spark.implicits._
     def run(d: org.apache.spark.sql.DataFrame) =
