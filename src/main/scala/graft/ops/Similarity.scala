@@ -301,15 +301,26 @@ object Similarity {
     while (new java.io.File(s"$dir/versions/v$nextV").exists()) nextV += 1
     val vName = s"v$nextV"
     buildIvfIndex(corpus, s"$dir/versions/$vName", nlist, kmeansIters)
-    // unique tmp name: two concurrent swappers must not clobber each
-    // other's pending pointer content before their ATOMIC_MOVE
+    publishVersion(dir, vName)
+    vName
+  }
+
+  /** Atomically repoint `CURRENT` at a fully-built `versions/<vName>`
+    * snapshot. Public so an EXTERNAL maintenance job (one that trained on
+    * a corpus this index never saw) can publish too — the swap is the
+    * contract, not the training provenance. Unique tmp name: two
+    * concurrent swappers must not clobber each other's pending pointer
+    * content before their ATOMIC_MOVE.
+    */
+  def publishVersion(dir: String, vName: String): Unit = {
+    require(new java.io.File(s"$dir/versions/$vName/centroids.parquet").exists(),
+      s"cannot publish $vName: no built snapshot at $dir/versions/$vName")
     val tmp = java.nio.file.Paths.get(dir,
       s".CURRENT_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     java.nio.file.Files.write(tmp, vName.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "CURRENT"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    vName
   }
 
   /** The full maintenance step a production pipeline runs per delta
