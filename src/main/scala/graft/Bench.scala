@@ -550,6 +550,34 @@ object Bench {
       }
     stress.foreach { case (n, _, e) =>
       System.err.println(f"[bench] stress exponent $n: $e%.2f") }
+    // streaming curation throughput over the LARGEST stress corpus: the
+    // end-to-end online pipeline (exact+MinHash dedup state → gate →
+    // exactly-once sink) draining a backlog at AvailableNow. Constant
+    // event time: throughput is the metric here, not watermark semantics
+    // (StreamCurationSpec owns those).
+    val curationStreamTps: Double =
+      if (stressScales.isEmpty) -1.0
+      else try {
+        val corpusDf = stressCorpus(stressScales.max)
+        val n = corpusDf.count()
+        val in = java.nio.file.Files.createTempDirectory("graft_bench_cur_in").toString
+        val out = java.nio.file.Files.createTempDirectory("graft_bench_cur_out").toString
+        val ck = java.nio.file.Files.createTempDirectory("graft_bench_cur_ck").toString
+        corpusDf.select(col("doc_id"), col("text"),
+            lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"))
+          .write.option("parquet.enable.dictionary", "false").parquet(in)
+        val cfg = graft.streaming.StreamCuration.Config(in, out, ck,
+          maxFilesPerTrigger = 8, availableNow = true)
+        val sec = timeIt {
+          val q = graft.streaming.StreamCuration.start(spark, cfg)
+          q.awaitTermination(); q.stop()
+        }
+        import scala.reflect.io.Directory
+        Seq(in, out, ck).foreach(d => new Directory(new java.io.File(d)).deleteRecursively())
+        System.err.println(f"[bench] streaming curation: $n docs in $sec%.2f s (${n / sec}%.0f docs/s)")
+        n / sec
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming curation bench FAILED: $e"); -1.0 }
 
     // ---- emit: FULL record to files, COMPACT headline as the final line.
     // The driver's tail capture is 2,000 chars — rounds 1+2 both measured a
@@ -582,8 +610,10 @@ object Bench {
       s""""$n":{"sec":${pts.map(p => r3(p._2)).mkString("[", ",", "]")},"exponent":${r3(e)}}"""
     }.mkString(s"""{"scales":${stressScales.mkString("[", ",", "]")},"ops":{""", ",", "}}")
     val stressHeadline =
-      if (stress.isEmpty) ""
-      else s""","stress_max_exponent":${r3(stress.map(_._3).max)}"""
+      (if (stress.isEmpty) ""
+       else s""","stress_max_exponent":${r3(stress.map(_._3).max)}""") +
+        (if (curationStreamTps < 0) ""
+         else s""","curation_stream_docs_per_sec":${curationStreamTps.round}""")
     val headline =
       s"""{"metric":"validated_turns_per_sec","value":${valueTps.round},"unit":"turns/sec","sf":"$sfDir","headline_cpus":$cpus,""" +
         s""""efficiency":${r4(effMedian)},"efficiency_best":${r4(effBest)},"fast_turns_per_sec":$fastJson,""" +
