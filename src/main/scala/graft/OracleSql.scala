@@ -447,6 +447,94 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.05
 ORDER BY doc_a, doc_b"""
 
+  /** Near-dup clustering: n-gram Jaccard pairs (threshold 0.05, planted
+    * bridge docs 300000+k = text(2k) ++ text(2k+1)) collapsed to connected
+    * components via a recursive min-label reachability CTE — cluster_id =
+    * the smallest doc_id each node can reach, the exact definition the
+    * engine's large-star/small-star implementation computes.
+    */
+  val dedupClusters: String = """
+WITH RECURSIVE input AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT a.doc_id // 2 + 300000 AS doc_id, a.text || ' ' || b.text AS text
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id < 20 AND a.doc_id % 2 = 0
+),
+w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM input
+),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(ws) - 2, 0)),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w
+),
+ex0 AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+keep AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= 1000),
+ex AS (SELECT ex0.* FROM ex0 SEMI JOIN keep USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pj AS (
+  SELECT doc_a, doc_b
+  FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.05
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pj
+  UNION ALL
+  SELECT doc_b, doc_a FROM pj
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM input
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON r.node = e.u
+)
+SELECT node AS doc_id, min(lab) AS cluster_id, min(lab) = node AS keep
+FROM reach GROUP BY node ORDER BY doc_id"""
+
+  /** Repetition signals — the engine's narrow run-length fold equals this
+    * explode+group formulation (equal grams are adjacent once sorted, so
+    * run lengths ARE the group counts).
+    */
+  val repSignals: String = """
+WITH w AS (
+  SELECT doc_id, length(text) AS n_chars_text,
+    string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(ws) - 1, 0)),
+    i -> ws[i] || ' ' || ws[i+1])) AS g
+  FROM w
+),
+c2 AS (
+  SELECT doc_id, max(c * length(g)) AS best2
+  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(ws) - 2, 0)),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+  FROM w
+),
+c3 AS (
+  SELECT doc_id, sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup3
+  FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(w.n_chars_text AS DOUBLE) AS n_chars_text,
+  CAST(coalesce(best2, 0) AS DOUBLE) / w.n_chars_text AS top2_frac,
+  CAST(coalesce(dup3, 0) AS DOUBLE) / w.n_chars_text AS dup3_frac
+FROM w LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+ORDER BY doc_id"""
+
   private val allStop: String =
     graft.ops.TextMetrics.stopwords.flatMap(_._2).map(w => s"'$w'").mkString("[", ",", "]")
 
@@ -731,6 +819,39 @@ ORDER BY p.event_id"""
      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len($b)),
          i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x,y) -> x + y)))"""
 
+  /** sq_topk: the int8 scalar quantization is fully deterministic, so the
+    * whole chain is re-derived — per-dim bounds, code = clamp(floor(
+    * (x-mn)*255/(mx-mn)),0,255), midpoint reconstruction, cosine (same
+    * sequential sum), and the rank order.
+    */
+  val sqTopK: String = s"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+stats AS (
+  SELECT i AS d, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+         max(CAST(embedding[i] AS DOUBLE)) AS mx
+  FROM e, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+  GROUP BY 1
+),
+b AS (SELECT list(mn ORDER BY d) AS mnl, list(mx ORDER BY d) AS mxl FROM stats),
+r AS (
+  SELECT vec_id, list_transform(generate_series(1, len(embedding)),
+    i -> mnl[i] + (CASE WHEN mxl[i] = mnl[i] THEN 0.0
+         ELSE least(greatest(floor((CAST(embedding[i] AS DOUBLE) - mnl[i])
+                * 255.0 / (mxl[i] - mnl[i])), 0.0), 255.0) END
+         + 0.5) * (mxl[i] - mnl[i]) / 255.0) AS v
+  FROM e CROSS JOIN b
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM r WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.q_id, r.vec_id, ${cosExpr("qv", "r.v")} AS cos
+  FROM r CROSS JOIN q WHERE r.vec_id != q.q_id
+)
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY q_id, rank"""
+
   /** lsh_cosine_pairs: re-verify the exact cosine of every emitted pair. */
   val lshCosineVerify: String = s"""
 WITH p AS (SELECT vec_a, vec_b FROM read_parquet('{OUT}/lsh_cosine_pairs/*.parquet'))
@@ -829,6 +950,45 @@ pred AS (
 SELECT t.doc_id, t.lang, p.lang_pred
 FROM t JOIN pred p ON p.doc_id = t.doc_id AND p.rn = 1
 ORDER BY t.doc_id"""
+
+  /** lm_score: the ENTIRE train+score chain re-derived — trigram counts,
+    * Laplace smoothing, per-doc mean log-likelihood under the 'en' model.
+    * Each emitted mean_logp is verified against the re-derivation to 1e-8
+    * and passed through on agreement ({OUT} pattern): ln sums accumulate
+    * in different orders / ULPs across engines, so bit-equality is the
+    * wrong contract for this one float column.
+    */
+  val lmScore: String = """
+WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+tri AS (
+  SELECT doc_id, substring(lt, CAST(i AS INT), 3) AS g
+  FROM t, LATERAL unnest(generate_series(1, greatest(len(lt) - 2, 0))) AS u(i)
+),
+tl AS (SELECT tri.doc_id, d.lang, g
+       FROM tri JOIN (SELECT doc_id, lang FROM documents) d USING (doc_id)),
+model AS (SELECT lang AS mlang, g, count(*) AS c FROM tl GROUP BY 1, 2),
+totals AS (SELECT mlang, sum(c) AS tot FROM model GROUP BY 1),
+vocab AS (SELECT count(DISTINCT g) AS v FROM tl),
+sc AS (
+  SELECT tri.doc_id, count(*) AS n_trigrams,
+    SUM(ln((COALESCE(m.c, 0) + 1.0) / (tt.tot + v.v))) AS score
+  FROM tri
+  LEFT JOIN model m ON m.mlang = 'en' AND m.g = tri.g
+  CROSS JOIN (SELECT tot FROM totals WHERE mlang = 'en') tt
+  CROSS JOIN vocab v
+  GROUP BY tri.doc_id
+),
+f AS (
+  SELECT t.doc_id, COALESCE(sc.n_trigrams, 0) AS n_trigrams,
+    CASE WHEN sc.n_trigrams IS NULL THEN 0.0
+         ELSE sc.score / sc.n_trigrams END AS mean_logp
+  FROM t LEFT JOIN sc USING (doc_id)
+)
+SELECT f.doc_id, f.n_trigrams,
+  CASE WHEN abs(f.mean_logp - o.mean_logp) < 1e-8 THEN o.mean_logp
+       ELSE f.mean_logp END AS mean_logp
+FROM f JOIN read_parquet('{OUT}/lm_score/*.parquet') o USING (doc_id)
+ORDER BY doc_id"""
 
   /** bpe_token_counts: ws_tokens and the tokens-cover-text invariant
     * (bpe_chars = sum of word lengths + 4 end-markers per word) re-derived

@@ -227,6 +227,25 @@ object SparkEntry {
           .select((col("doc_id") + 200000).as("doc_id"), col("text")))
       graft.ops.Dedup.exact(planted).orderBy("doc_id")
     }),
+    "dedup_clusters" -> ((s, dir) => { // pair graph → connected components
+      // (alternating large-star/small-star): TRANSITIVE near-dup groups,
+      // one canonical doc per component. Bridge docs (text of doc 2k ++
+      // text of doc 2k+1, k<10) are planted so the transitive merge is
+      // visible: a bridge links two docs that share nothing, and CC puts
+      // all three in one cluster where pair-based drop would keep both
+      // originals.
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val a = docs.filter(col("doc_id") < 20 && col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("k"), col("text").as("ta"))
+      val b = docs.filter(col("doc_id") < 20 && col("doc_id") % 2 === 1)
+        .select((col("doc_id") - 1).as("k"), col("text").as("tb"))
+      val bridges = a.join(b, "k")
+        .select((col("k") / 2 + 300000).cast("long").as("doc_id"),
+          concat(col("ta"), lit(" "), col("tb")).as("text"))
+      graft.ops.ConnectedComponents.dedupClusters(
+        docs.unionByName(bridges), n = 3, threshold = 0.05)
+        .orderBy("doc_id")
+    }),
     "ngram_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.ngramJaccardPairs(
         s.read.parquet(s"$dir/documents.parquet"), n = 3, threshold = 0.05)
@@ -244,6 +263,10 @@ object SparkEntry {
         graft.ops.Dedup.simhashPairs(docs, maxHamming = 3), docs)
         .orderBy("doc_a", "doc_b")
     }),
+    "rep_signals" -> ((s, dir) => // Gopher-style repetition fractions:
+      // narrow run-length fold over sorted gram arrays, zero shuffle
+      graft.ops.TextMetrics.repetitionSignals(
+        s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
       graft.ops.TextMetrics.quality(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")),
@@ -263,11 +286,23 @@ object SparkEntry {
       // training + smoothing + argmax all re-derived by the DuckDB oracle
       graft.ops.LangModel.langIdTrained(s,
         s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
+    "lm_score" -> ((s, dir) => // CCNet-style LM quality signal: mean
+      // trigram log-likelihood under the corpus-trained 'en' model; the
+      // oracle re-derives the full train+score chain (1e-8 verify — ln
+      // ULPs differ across engines)
+      graft.ops.LangModel.lmScore(s,
+        s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
     "doc_fingerprint" -> ((s, dir) =>
       graft.ops.TextMetrics.fingerprint(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")),
     "cosine_topk" -> ((s, dir) =>
       graft.ops.Similarity.bruteTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), k = 10, stride = 50)
+        .orderBy("q_id", "rank")),
+    "sq_topk" -> ((s, dir) => // int8 scalar-quantized brute top-k (4x scan
+      // compression); quantization is deterministic, so the oracle
+      // re-derives bounds, codes, reconstruction, scoring AND ranks
+      graft.ops.Similarity.sqTopK(
         s.read.parquet(s"$dir/embeddings.parquet"), k = 10, stride = 50)
         .orderBy("q_id", "rank")),
     "ivf_topk" -> ((s, dir) => // candidate set approximate by construction;
@@ -349,6 +384,11 @@ object SparkEntry {
     "pivot_stats" -> ((s, dir) => // long→wide pivot with declared values
       graft.ops.Aggregates.langLengthPivot(
         s.read.parquet(s"$dir/documents.parquet")).orderBy("lang")),
+    "stratified_sample" -> ((s, dir) => // EXACT per-stratum sample: ceil
+      // (frac*|stratum|) rows per lang, deterministic md5-order rank
+      graft.ops.Sampling.stratifiedSample(
+        s.read.parquet(s"$dir/documents.parquet"), strataCol = "lang",
+        frac = 0.2).orderBy("doc_id")),
     "hash_sample" -> ((s, dir) => // deterministic md5-bucket train/val split
       graft.ops.Sampling.hashSplit(
         s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
@@ -410,13 +450,17 @@ object SparkEntry {
     "curation_pipeline" -> OracleSql.curationPipeline,
     "dedup_exact" -> OracleSql.dedupExact,
     "ngram_jaccard" -> OracleSql.ngramJaccard,
+    "dedup_clusters" -> OracleSql.dedupClusters,
     "text_quality" -> OracleSql.textQuality,
+    "rep_signals" -> OracleSql.repSignals,
     "token_counts" -> OracleSql.tokenCounts,
     "bpe_token_counts" -> OracleSql.bpeTokenCounts,
     "lang_id" -> OracleSql.langId,
     "lang_id_trained" -> OracleSql.langIdTrained,
+    "lm_score" -> OracleSql.lmScore,
     "doc_fingerprint" -> OracleSql.docFingerprint,
     "cosine_topk" -> OracleSql.cosineTopK,
+    "sq_topk" -> OracleSql.sqTopK,
     "multimodal_meta" -> OracleSql.multimodalMeta,
     "multimodal_features" -> OracleSql.multimodalFeatures,
     "pivot_stats" ->
@@ -430,6 +474,17 @@ object SparkEntry {
         |             ELSE 'long' END AS len_bucket
         |      FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "stratified_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY 1),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk,
+        |  CAST(ceil(c.n_stratum * 0.2) AS BIGINT) AS n_take
+        |FROM r JOIN c USING (lang)
+        |WHERE r.rk <= ceil(c.n_stratum * 0.2)
+        |ORDER BY doc_id""".stripMargin,
     "hash_sample" ->
       """SELECT doc_id,
         |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,

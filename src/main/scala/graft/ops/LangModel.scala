@@ -115,6 +115,48 @@ object LangModel {
   def langIdTrained(spark: SparkSession, docs: DataFrame): DataFrame =
     classify(spark, docs, train(spark, docs))
 
+  /** Per-document mean trigram log-likelihood under ONE language's trained
+    * model — the CCNet-style LM quality signal (Wenzek et al. 2020 score
+    * documents with a target-language LM and filter on perplexity; the
+    * monotone equivalent mean-log-prob is emitted instead of exp(-x), so
+    * no transcendental beyond the model's own ln).
+    *
+    * Narrow: the model is broadcast and each partition scores its rows
+    * with zero shuffle. The per-doc sum runs over DISTINCT trigrams in
+    * lexicographic order (count x logp per gram) — a canonical order, so
+    * the score is independent of partitioning; the DuckDB oracle
+    * re-derives the whole train+score chain and verifies each emitted
+    * value to 1e-8 (ln libraries differ in final ULPs across engines, so
+    * bit-equality is the wrong contract for a float score).
+    */
+  def score(spark: SparkSession, docs: DataFrame, model: NbModel,
+      scoreLang: String = "en", textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    require(model.unseen.contains(scoreLang), s"no model for '$scoreLang'")
+    val bm = spark.sparkContext.broadcast(model)
+    docs.select(col("doc_id"), lower(col(textCol))).as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bm.value
+        it.map { case (id, lt) =>
+          var n = 0L
+          val counts = mutable.TreeMap.empty[String, Long]
+          trigramsOf(lt).foreach { g =>
+            n += 1; counts.update(g, counts.getOrElse(g, 0L) + 1L)
+          }
+          var s = 0.0
+          counts.foreach { case (g, c) =>
+            s += c * m.logp.getOrElse((scoreLang, g), m.unseen(scoreLang))
+          }
+          (id, n, if (n == 0) 0.0 else s / n)
+        }
+      }
+      .toDF("doc_id", "n_trigrams", "mean_logp")
+  }
+
+  /** Train + score in one call (the `lm_score` query). */
+  def lmScore(spark: SparkSession, docs: DataFrame): DataFrame =
+    score(spark, docs, train(spark, docs))
+
   /** Persist a trained model — train-once/serve-many, like the BPE merge
     * table and the IVF index. Two tiny tables: the (lang, trigram) → logp
     * matrix and the per-lang unseen-mass row (langs derive from it).

@@ -40,4 +40,33 @@ object Sampling {
       idCol: String = "doc_id"): DataFrame =
     hashSplit(docs, valBucketMax, idCol)
       .groupBy("split").agg(count(lit(1)).as("n"))
+
+  /** EXACT stratified sample: ceil(frac * |stratum|) rows per stratum,
+    * chosen deterministically by md5(id) order (id tiebreak) — the
+    * "balanced subset across languages/sources" operator a curation
+    * pipeline uses when [[hashSplit]]'s per-row threshold (exact-fraction
+    * only in expectation) isn't enough.
+    *
+    * Scale shape: one hash agg for stratum sizes (broadcast back — strata
+    * are few) + a rank per stratum. The rank is a window, i.e. a shuffle
+    * on the stratum key and a per-stratum sort: that sort is the price of
+    * EXACT counts under a deterministic order, and it parallelizes across
+    * strata. A heavily skewed stratum sorts on one... no — Spark range-
+    * partitions within window partitions only by key, so the largest
+    * stratum bounds a single task: for corpora with few huge strata
+    * prefer [[hashSplit]], which is exact-in-expectation and narrow.
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String = "lang",
+      frac: Double = 0.2, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("n_stratum"))
+    docs.select(col(idCol), col(strataCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq(strataCol))
+      .withColumn("n_take", ceil(col("n_stratum") * lit(frac)))
+      .filter(col("rk") <= col("n_take"))
+      .select(col(idCol), col(strataCol), col("rk"), col("n_take"))
+  }
 }

@@ -458,4 +458,59 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Per-dimension (min, max) over the corpus — the scalar-quantization
+    * training pass: one explode + map-side-combined hash agg keyed on the
+    * dimension index (`dim` rows total), collected driver-side like the
+    * IVF centroids (bounded by the embedding dimensionality).
+    */
+  def sqTrain(emb: DataFrame): (Seq[Double], Seq[Double]) = {
+    val base = emb.select(asDouble(col("embedding")).as("v"))
+    val stats = base.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("d").collect()
+    (stats.map(_.getDouble(1)).toSeq, stats.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Reconstructed int8 scalar quantization of `v` (midpoint decode on
+    * the SAME 255-step grid as the encoder — mixing /255 encode with /256
+    * decode skews every bucket by up to a full step):
+    * code = clamp(floor((x-mn)*255/(mx-mn)), 0, 255);
+    * recon = mn + (code+0.5)*(mx-mn)/255. The per-dim bounds ride along
+    * as array LITERALS (broadcast in the plan, nothing per-row), so the
+    * whole transform is one codegen'd narrow projection.
+    */
+  def sqRecon(v: Column, mn: Seq[Double], mx: Seq[Double]): Column = {
+    val mnl = lit(mn.toArray); val mxl = lit(mx.toArray)
+    transform(v, (x, i) => {
+      val lo = element_at(mnl, i + 1); val hi = element_at(mxl, i + 1)
+      val code = when(hi === lo, lit(0.0)).otherwise(
+        least(greatest(floor((x - lo) * 255.0 / (hi - lo)).cast("double"),
+          lit(0.0)), lit(255.0)))
+      lo + (code + 0.5) * (hi - lo) / 255.0
+    })
+  }
+
+  /** Int8 scalar-quantized cosine top-k — the memory/IO-compression scale
+    * path for brute scans: at 100 TB the candidate matrix is the cost, and
+    * SQ8 cuts the scanned bytes 4x (f32→u8; store the code column and the
+    * 2xdim bounds, reconstruct on the fly) at a recall loss measured in
+    * SimilaritySpec, not guessed. Same plan as [[bruteTopK]] — broadcast
+    * queries, one scan, bounded-heap final — but over reconstructed
+    * vectors; every stage is deterministic, so the DuckDB oracle
+    * re-derives quantization, scoring, and ranks exactly.
+    *
+    * Queries are scored in their RECONSTRUCTED form too (symmetric SQ) —
+    * one fewer code path and the standard faiss-style SQ baseline.
+    */
+  def sqTopK(emb: DataFrame, k: Int = 10, stride: Int = 50): DataFrame = {
+    val (mn, mx) = sqTrain(emb)
+    val base = emb.select(col("vec_id"),
+      sqRecon(asDouble(col("embedding")), mn, mx).as("v"))
+    val queries = base.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q"))
+    val scored = base.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("q"), col("v")).as("cos"))
+    rankTopK(scored, k)
+  }
 }

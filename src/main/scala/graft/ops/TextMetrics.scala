@@ -110,4 +110,61 @@ object TextMetrics {
         lit(0L),
         (acc, c) => pmod(acc * 31 + c, lit(FpMod))).as("fingerprint"))
   }
+
+  /** Word n-grams WITH duplicates (unlike `Dedup.shingles`, which is a
+    * set) — repetition detection is precisely about the duplicates. Same
+    * CSE-safe shape: the words array appears only in HOF argument
+    * positions, never inside a lambda body.
+    */
+  private def ngrams(text: Column, n: Int): Column = {
+    val ws = words(text)
+    val cnt = size(ws) - (n - 1)
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        arrays_zip((0 until n).map(j => slice(ws, lit(j + 1), cnt)): _*),
+        s => concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*)))
+  }
+
+  /** Characters covered by repeated n-grams, as one narrow fold: sort the
+    * gram array, then run-length scan it with an `aggregate` HOF —
+    * `top` = max over grams of count*len(gram) (chars covered by the
+    * single most-covering gram), `dup` = sum over grams occurring >= 2
+    * times of count*len(gram). Identical to the explode+groupBy counts a
+    * SQL engine computes, but with zero shuffle: the scan is the cost.
+    */
+  private def repCover(grams: Column): Column = {
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"), lit(0L).as("dup"))
+    aggregate(array_sort(grams), zero, (acc, g) => {
+      val same = g === acc.getField("prev")
+      val run = when(same, acc.getField("run") + 1).otherwise(lit(1L))
+      struct(g.as("prev"), run.as("run"),
+        greatest(acc.getField("best"), run * length(g).cast("long")).as("best"),
+        // incremental dup chars: a run entering length 2 contributes both
+        // occurrences at once; each further repeat adds one more
+        (acc.getField("dup")
+          + when(same && acc.getField("run") === 1, length(g).cast("long") * 2)
+            .when(same, length(g).cast("long"))
+            .otherwise(lit(0L))).as("dup"))
+    })
+  }
+
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", quality-filter appendix): the fraction of
+    * characters covered by the most-covering word 2-gram and by all
+    * duplicated word 3-grams. Character coverage counts every occurrence
+    * of the gram (overlaps not collapsed) — deterministic, no tiebreak
+    * needed since `top` maximizes count*len directly. Pure narrow
+    * Catalyst expressions; the oracle recomputes both via explode+group.
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("double")
+    val r2 = repCover(ngrams(t, 2))
+    val r3 = repCover(ngrams(t, 3))
+    docs.select(col("doc_id"),
+      nChars.as("n_chars_text"),
+      (r2.getField("best").cast("double") / nChars).as("top2_frac"),
+      (r3.getField("dup").cast("double") / nChars).as("dup3_frac"))
+  }
 }

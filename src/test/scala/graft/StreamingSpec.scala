@@ -367,7 +367,14 @@ class StreamingSpec extends SparkSpec {
       val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
       while (sinkB.committedBatches().size < 2 && System.nanoTime() < deadline)
         Thread.sleep(100)
-      qB1.stop()
+      // The deliberate mid-batch kill can race Spark 4.1's state-store
+      // commit validation: interrupted tasks commit 0 of N partitions, the
+      // validator throws ("Expected N commits but got 0"), the query is
+      // marked FAILED, and stop() rethrows the terminal exception. Any
+      // failure mode of the query being killed is in-scope for chaos —
+      // exactly-once is judged by the post-resume equality below.
+      try qB1.stop()
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
       assert(sinkB.committedBatches().size >= 2, "no committed progress before the kill")
       val qB2 = StreamValidate.start(spark, cfgB.copy(availableNow = true),
         TranscriptGen.catalog)
