@@ -58,29 +58,7 @@ object ConnectedComponents {
     var it = 0
     var converged = e.isEmpty
     while (!converged && it < maxIter) {
-      // ---- large-star: for each center c, m = min(neighborhood ∪ {c});
-      //      connect every LARGER neighbor n > c to m (m <= c < n).
-      val sym = e.select(col("u").as("c"), col("v").as("n"))
-        .unionByName(e.select(col("v").as("c"), col("u").as("n")))
-      val lsMin = sym.groupBy("c").agg(min("n").as("mn"))
-        .select(col("c"), least(col("c"), col("mn")).as("m"))
-      val ls = sym.filter(col("n") > col("c"))
-        .join(lsMin, "c")
-        .select(col("m").as("u"), col("n").as("v"))
-        .dropDuplicates("u", "v")
-
-      // ---- small-star: for each center c, over its SMALLER neighbors N
-      //      (in canonical form: rows where c is the `v` side), m = min(N);
-      //      connect every n ∈ N ∪ {c}, n != m, to m.
-      val smaller = ls.select(col("v").as("c"), col("u").as("n"))
-      val ssMin = smaller.groupBy("c").agg(min("n").as("m"))
-      val ss = smaller.join(ssMin, "c")
-        .select(col("m").as("u"), col("n").as("v"))
-        .filter(col("u") =!= col("v"))
-        .unionByName(ssMin.select(col("m").as("u"), col("c").as("v")))
-        .dropDuplicates("u", "v")
-        .localCheckpoint(true)
-
+      val ss = smallStar(largeStar(e)).localCheckpoint(true)
       val next = signature(ss)
       converged = next == sig
       sig = next
@@ -94,6 +72,37 @@ object ConnectedComponents {
     val roots = e.select(col("u").as("node")).distinct()
       .withColumn("cluster_id", col("node"))
     members.unionByName(roots)
+  }
+
+  /** One large-star round over a canonical (u < v) edge list: for each
+    * center c, m = min(neighborhood ∪ {c}); connect every LARGER neighbor
+    * n > c to m (m <= c < n, so (m, n) is already canonical). Per-center
+    * minima via hash agg + join back by center id — no adjacency lists.
+    * Package-private so PlanAuditSpec pins the round's physical plan.
+    */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u").as("c"), col("v").as("n"))
+      .unionByName(e.select(col("v").as("c"), col("u").as("n")))
+    val lsMin = sym.groupBy("c").agg(min("n").as("mn"))
+      .select(col("c"), least(col("c"), col("mn")).as("m"))
+    sym.filter(col("n") > col("c"))
+      .join(lsMin, "c")
+      .select(col("m").as("u"), col("n").as("v"))
+      .dropDuplicates("u", "v")
+  }
+
+  /** One small-star round: for each center c, over its SMALLER neighbors N
+    * (in canonical form: exactly the rows where c is the `v` side),
+    * m = min(N); connect every n ∈ N ∪ {c}, n != m, to m.
+    */
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    val smaller = e.select(col("v").as("c"), col("u").as("n"))
+    val ssMin = smaller.groupBy("c").agg(min("n").as("m"))
+    smaller.join(ssMin, "c")
+      .select(col("m").as("u"), col("n").as("v"))
+      .filter(col("u") =!= col("v"))
+      .unionByName(ssMin.select(col("m").as("u"), col("c").as("v")))
+      .dropDuplicates("u", "v")
   }
 
   /** Document-level near-dup clustering: n-gram Jaccard pairs → connected

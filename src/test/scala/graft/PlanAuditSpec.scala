@@ -233,6 +233,49 @@ class PlanAuditSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("CC rounds: hash-agg minima + equi-joins, no Window/cartesian/adjacency sort") {
+    // Each large-star/small-star round must stay: per-center min as a
+    // map-side-combinable hash aggregate, stamped back via an id-keyed
+    // equi-join. A Window or collect_list formulation would sort /
+    // materialize whole neighborhoods (the 100 TB skew failure mode);
+    // a cartesian would be quadratic.
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 9L), (5L, 6L)).toDF("u", "v")
+    for (s <- Seq(plan(graft.ops.ConnectedComponents.largeStar(e)),
+        plan(graft.ops.ConnectedComponents.smallStar(e)))) {
+      assert(!s.contains("Window"), s.take(1200))
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s.take(1200))
+      assert(!s.contains("collect_list"), s.take(1200))
+      assert(s.contains("HashAggregate") || s.contains("ObjectHashAggregate"),
+        s.take(1200))
+    }
+  }
+
+  test("repetition signals are narrow: zero Exchange, codegen projection") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val s = plan(graft.ops.TextMetrics.repetitionSignals(docs))
+    assert(!s.contains("Exchange"), s.take(1200))
+  }
+
+  test("LM scoring is narrow over a broadcast model: zero Exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = graft.ops.LangModel.NbModel(Seq("en"), Map(("en", "the") -> -1.0),
+      Map("en" -> -5.0))
+    val s = plan(graft.ops.LangModel.score(spark, docs, model))
+    assert(!s.contains("Exchange"), s.take(1200))
+  }
+
+  test("SQ8 top-k keeps the brute plan shape: broadcast queries, heap final, no Window") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val s = plan(graft.ops.Similarity.sqTopK(emb, k = 5, stride = 100))
+    assert(!s.contains("Window"), s.take(1500))
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"),
+      s.take(1500))
+    assert("ObjectHashAggregate".r.findAllIn(s).length == 2, // partial + final heap
+      s.linesIterator.filter(_.contains("Aggregate")).mkString("\n"))
+  }
+
   test("whole-stage codegen covers the stateless column stages") {
     val p = TranscriptGen.ensure(spark, "/root/testdata/sf0.001")
     val parsed = ValidationPipeline.parsed(TranscriptGen.readTranscripts(spark, p))
