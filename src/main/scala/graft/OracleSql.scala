@@ -322,6 +322,58 @@ FROM read_parquet('$txDir/transcripts.parquet/*.parquet')
 WHERE text IS NOT NULL
 GROUP BY role ORDER BY role"""
 
+  /** CEP `searchRuns` (maximal runs of >=2 clean user→agent→search-tool
+    * triples) re-derived RELATIONALLY — gaps-and-islands over aligned
+    * 3-turn blocks — instead of the engine's symbol-string regex
+    * automaton. Two independent formulations agreeing row-for-row is the
+    * point: roles cycle with turn_idx % 3 in this corpus, so every `uas`
+    * triple the regex can match is block-aligned, making the island form
+    * exact. Timestamps of the first/last matched turn come via
+    * arg_min/arg_max on block index (NOT min/max of ts: late turns carry
+    * pulled-back timestamps, and ordering is by turn_idx).
+    */
+  def cepMatches(txDir: String): String = s"""
+WITH sym AS (
+  SELECT conv_id, turn_idx,
+    coalesce(CAST(epoch(ts) AS BIGINT), 0) AS ts_sec,
+    CASE WHEN role = 'user' AND text LIKE 'garbage%' THEN 'g'
+         WHEN role = 'user' AND text IS NOT NULL THEN 'u'
+         WHEN text IS NULL THEN 'n'
+         WHEN role = 'agent' THEN 'a'
+         WHEN role = 'tool' AND tool = 'search' THEN 's'
+         WHEN role = 'tool' THEN 'c'
+         ELSE '_' END AS s
+  FROM read_parquet('$txDir/transcripts.parquet/*.parquet')),
+blocks AS (
+  SELECT conv_id, turn_idx // 3 AS b, count(*) AS nt,
+    max(CASE WHEN turn_idx % 3 = 0 THEN s END) AS s0,
+    max(CASE WHEN turn_idx % 3 = 1 THEN s END) AS s1,
+    max(CASE WHEN turn_idx % 3 = 2 THEN s END) AS s2,
+    min(turn_idx) AS lo, max(turn_idx) AS hi,
+    min(CASE WHEN turn_idx % 3 = 0 THEN ts_sec END) AS ts_lo,
+    max(CASE WHEN turn_idx % 3 = 2 THEN ts_sec END) AS ts_hi
+  FROM sym GROUP BY 1, 2),
+ok AS (
+  SELECT * FROM blocks
+  WHERE nt = 3 AND s0 = 'u' AND s1 = 'a' AND s2 = 's'),
+isl AS (
+  SELECT *, b - row_number() OVER (PARTITION BY conv_id ORDER BY b) AS grp
+  FROM ok),
+runs AS (
+  SELECT conv_id, count(*) AS n_blocks,
+    min(lo) AS start_turn_idx, max(hi) AS end_turn_idx,
+    arg_min(ts_lo, b) AS ts_first, arg_max(ts_hi, b) AS ts_last
+  FROM isl GROUP BY conv_id, grp
+  HAVING count(*) >= 2)
+SELECT conv_id,
+  row_number() OVER (PARTITION BY conv_id ORDER BY start_turn_idx) AS match_seq,
+  start_turn_idx, end_turn_idx,
+  3 * n_blocks AS n_turns,
+  repeat('uas', CAST(n_blocks AS INT)) AS symbols,
+  ts_last - ts_first AS span_seconds
+FROM runs
+ORDER BY conv_id, match_seq"""
+
   def toolSeq(txDir: String): String = s"""
 SELECT conv_id, count(*) AS n_calls,
   string_agg(tool, ',' ORDER BY turn_idx) AS tool_seq

@@ -370,6 +370,13 @@ object SparkEntry {
     "quantile_approx" -> ((s, dir) => // GK sketch beside exact percentile;
       // sketch value is engine-specific, so the oracle asserts the BOUND
       graft.ops.Aggregates.quantileStats(tx(s, dir)).orderBy("role")),
+    "cep_match" -> ((s, dir) => // CEP sequence-pattern operator: symbolize
+      // (codegen CASE) → one conv_id exchange + in-partition sort → narrow
+      // per-conversation regex automaton (one conversation in memory at a
+      // time). The oracle re-derives the same matches RELATIONALLY via
+      // gaps-and-islands — two independent formulations must agree.
+      graft.ops.Cep.searchRuns(tx(s, dir)).toDF()
+        .orderBy("conv_id", "match_seq")),
     "tool_seq" -> ((s, dir) => // ordered collection agg (string_agg class)
       graft.ops.Aggregates.toolSequence(tx(s, dir)).orderBy("conv_id")),
     "grouping_sets_stats" -> ((s, dir) => // explicit GROUPING SETS
@@ -441,6 +448,7 @@ object SparkEntry {
     "ivf_topk_indexed" -> OracleSql.ivfIndexedVerify,
     "ivf_topk_appended" -> OracleSql.ivfAppendedVerify,
     "quantile_approx" -> OracleSql.quantileApprox(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
+    "cep_match" -> OracleSql.cepMatches(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "tool_seq" -> OracleSql.toolSeq(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "grouping_sets_stats" -> OracleSql.groupingSetsStats(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "turn_latency" -> OracleSql.turnLatency(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),

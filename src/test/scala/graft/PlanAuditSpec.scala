@@ -281,4 +281,18 @@ class PlanAuditSpec extends SparkSpec {
     val parsed = ValidationPipeline.parsed(TranscriptGen.readTranscripts(spark, p))
     assert(plan(parsed).contains("*(1)"), plan(parsed).take(800))
   }
+
+  test("CEP batch plan: one conv_id exchange + in-partition sort, no Window") {
+    val p = TranscriptGen.ensure(spark, "/root/testdata/sf0.001")
+    val s = plan(graft.ops.Cep.searchRuns(
+      TranscriptGen.readTranscripts(spark, p)).toDF())
+    // exactly one shuffle (the keyed repartition) — the per-conversation
+    // matcher is a narrow pass over a sorted partition, never a Window or
+    // a second exchange
+    assert("Exchange hashpartitioning\\(conv_id".r.findAllIn(s).size == 1, s.take(2000))
+    assert("Exchange".r.findAllIn(s).size == 1, s.take(2000))
+    assert(!s.contains("Window"), s.take(2000))
+    // the sort is intra-partition (global=false), not a global sort
+    assert(!s.contains("rangepartitioning"), s.take(2000))
+  }
 }
