@@ -499,6 +499,88 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.05
 ORDER BY doc_a, doc_b"""
 
+  /** Benchmark decontamination: word-8-gram overlap of the md5-'train'
+    * bucket against the md5-'val' holdout, with planted leaks (full
+    * copies of docs 20..40 at +400000; 12-word prefixes of val docs
+    * 59/63 at +410000). Split, gram extraction, holdout set, and both
+    * counts are all independently re-derived — no {OUT} echo.
+    */
+  val decontam: String = """
+WITH input AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id, text FROM documents
+  WHERE doc_id BETWEEN 20 AND 40
+  UNION ALL
+  SELECT doc_id + 410000 AS doc_id,
+    array_to_string((string_split_regex(lower(trim(text)), '\s+'))[1:12], ' ') AS text
+  FROM documents WHERE doc_id IN (59, 63)
+),
+s AS (
+  SELECT doc_id, text,
+    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+         THEN 'val' ELSE 'train' END AS split
+  FROM input),
+g AS (
+  SELECT doc_id, split, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(ws) - 7, 0)),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+         ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]))) AS g
+  FROM (SELECT doc_id, split,
+          string_split_regex(lower(trim(text)), '\s+') AS ws FROM s)),
+hold AS (SELECT DISTINCT g FROM g WHERE split = 'val'),
+tr AS (SELECT doc_id, g FROM g WHERE split = 'train'),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1),
+shared AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM tr SEMI JOIN hold USING (g) GROUP BY 1)
+SELECT s.doc_id,
+  coalesce(sizes.n_grams, 0) AS n_grams,
+  coalesce(shared.n_contaminated, 0) AS n_contaminated,
+  coalesce(shared.n_contaminated, 0) > 0 AS contaminated
+FROM s LEFT JOIN sizes USING (doc_id) LEFT JOIN shared USING (doc_id)
+WHERE s.split = 'train'
+ORDER BY doc_id"""
+
+  /** PII scan: literal same RE2-compatible patterns as the engine, Luhn
+    * re-derived in SQL (same form as the decisions oracle), counts on raw
+    * text per lane, redaction chain email → card → ip → phone with the
+    * 'g' flag (DuckDB replaces first-only by default; Spark replaces
+    * all). Planted rows: doc_id % 7 == 0 carries one of each lane with a
+    * Luhn-VALID card; % 7 == 1 carries a Luhn-INVALID card (n_cards must
+    * stay 0 — counting it means the Luhn filter is gone).
+    */
+  val piiScan: String = """
+WITH input AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN
+      text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      '@example.org or call 0412345678 from host 10.0.' ||
+      CAST(doc_id % 250 AS VARCHAR) || '.7 card 4242424242424242 ok'
+    WHEN doc_id % 7 = 1 THEN
+      text || ' invalid card 4242424242424243 here'
+    ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(coalesce(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')), 0) AS BIGINT) AS n_emails,
+  CAST(coalesce(len(regexp_extract_all(text, '\b04[0-9]{8}\b')), 0) AS BIGINT) AS n_phones,
+  CAST(coalesce(len(regexp_extract_all(text,
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')), 0) AS BIGINT) AS n_ips,
+  CAST(coalesce(len(list_filter(regexp_extract_all(text, '\b[0-9]{13,19}\b'),
+    c -> list_sum(list_transform(generate_series(1, length(c)), j ->
+           CASE WHEN j % 2 = 0 THEN
+             CASE WHEN 2*CAST(c[length(c)-j+1] AS INT) > 9
+                  THEN 2*CAST(c[length(c)-j+1] AS INT) % 10 + 1
+                  ELSE 2*CAST(c[length(c)-j+1] AS INT) END
+           ELSE CAST(c[length(c)-j+1] AS INT) END)) % 10 = 0)), 0) AS BIGINT) AS n_cards,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b[0-9]{13,19}\b', '<CARD>', 'g'),
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+    '\b04[0-9]{8}\b', '<PHONE>', 'g') AS redacted
+FROM input ORDER BY doc_id"""
+
   /** Near-dup clustering: n-gram Jaccard pairs (threshold 0.05, planted
     * bridge docs 300000+k = text(2k) ++ text(2k+1)) collapsed to connected
     * components via a recursive min-label reachability CTE — cluster_id =
@@ -911,6 +993,24 @@ SELECT p.vec_a, p.vec_b, ${cosExpr("a.embedding", "b.embedding")} AS cos
 FROM p
 JOIN embeddings a ON a.vec_id = p.vec_a
 JOIN embeddings b ON b.vec_id = p.vec_b
+ORDER BY vec_a, vec_b"""
+
+  /** semantic_dedup: the cluster assignment is k-means-dependent (not SQL-
+    * rederivable), but every emitted pair's exact cosine is — and planted
+    * identical twins land in one cluster regardless of centroids, so the
+    * pair set is non-empty by construction. Same {OUT} contract as the
+    * LSH verify.
+    */
+  val semanticDedupVerify: String = s"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 500000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10),
+p AS (SELECT vec_a, vec_b FROM read_parquet('{OUT}/semantic_dedup/*.parquet'))
+SELECT p.vec_a, p.vec_b, ${cosExpr("a.embedding", "b.embedding")} AS cos
+FROM p
+JOIN e a ON a.vec_id = p.vec_a
+JOIN e b ON b.vec_id = p.vec_b
 ORDER BY vec_a, vec_b"""
 
   /** ivf_topk: re-verify the cosine of every emitted (q,candidate) row AND

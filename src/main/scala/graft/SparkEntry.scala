@@ -263,6 +263,37 @@ object SparkEntry {
         graft.ops.Dedup.simhashPairs(docs, maxHamming = 3), docs)
         .orderBy("doc_a", "doc_b")
     }),
+    "decontam" -> ((s, dir) => { // benchmark decontamination: word-8-gram
+      // overlap of the md5-'train' bucket against the md5-'val' holdout.
+      // Planted leaks make the signal visible at sf0.01: full copies of
+      // docs 20..40 (doc 27 is val ⇒ its copy leaks everything) and
+      // 12-word prefixes of val docs 59/63 (⇒ exactly 5 leaked grams).
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val fullCopies = docs.filter(col("doc_id").between(20, 40))
+        .select((col("doc_id") + 400000).as("doc_id"), col("text"))
+      val prefixes = docs.filter(col("doc_id").isin(59, 63))
+        .select((col("doc_id") + 410000).as("doc_id"),
+          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"),
+            1, 12)).as("text"))
+      graft.ops.Decontam.splitAndOverlap(
+        docs.unionByName(fullCopies).unionByName(prefixes), n = 8)
+        .orderBy("doc_id")
+    }),
+    "pii_scan" -> ((s, dir) => { // PII lanes + redaction: planted leaks
+      // (every 7th doc gets email/phone/IP/valid-card, every 7th+1 an
+      // INVALID card that must count 0 — the Luhn filter is the test)
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val planted = docs.withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.org or call 0412345678 from host 10.0."),
+          (col("doc_id") % 250).cast("string"),
+          lit(".7 card 4242424242424242 ok")))
+        .when(col("doc_id") % 7 === 1,
+          concat(col("text"), lit(" invalid card 4242424242424243 here")))
+        .otherwise(col("text")))
+      graft.ops.Pii.scan(planted).orderBy("doc_id")
+    }),
     "rep_signals" -> ((s, dir) => // Gopher-style repetition fractions:
       // narrow run-length fold over sorted gram arrays, zero shuffle
       graft.ops.TextMetrics.repetitionSignals(
@@ -335,6 +366,19 @@ object SparkEntry {
           .select(col("vec_id").as("q_id"), col("embedding")),
         k = 10, nprobe = 8)
         .orderBy("q_id", "rank")
+    }),
+    "semantic_dedup" -> ((s, dir) => { // SemDeDup cluster-then-cosine:
+      // k-means assignment (same Lloyd kernel as IVF) scopes the pair
+      // search to within-cluster; planted twins (vec_id+500000 copies of
+      // vec_id<10) are identical vectors, so they MUST share a cluster
+      // and surface at cos 1.0 whatever the centroids; the oracle
+      // re-derives the exact cosine of every emitted pair from {OUT}
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val planted = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 500000).as("vec_id"), col("embedding")))
+      graft.ops.Similarity.semanticDedupPairs(planted, nlist = 16,
+        kmeansIters = 2, threshold = 0.95).orderBy("vec_a", "vec_b")
     }),
     "lsh_cosine_pairs" -> ((s, dir) => // oracle re-derives cos from {OUT}
       graft.ops.Similarity.lshCosinePairs(
@@ -444,6 +488,7 @@ object SparkEntry {
     "minhash_pairs" -> OracleSql.minhashVerify,
     "simhash_pairs" -> OracleSql.simhashVerify,
     "lsh_cosine_pairs" -> OracleSql.lshCosineVerify,
+    "semantic_dedup" -> OracleSql.semanticDedupVerify,
     "ivf_topk" -> OracleSql.ivfVerify,
     "ivf_topk_indexed" -> OracleSql.ivfIndexedVerify,
     "ivf_topk_appended" -> OracleSql.ivfAppendedVerify,
@@ -459,6 +504,8 @@ object SparkEntry {
     "dedup_exact" -> OracleSql.dedupExact,
     "ngram_jaccard" -> OracleSql.ngramJaccard,
     "dedup_clusters" -> OracleSql.dedupClusters,
+    "decontam" -> OracleSql.decontam,
+    "pii_scan" -> OracleSql.piiScan,
     "text_quality" -> OracleSql.textQuality,
     "rep_signals" -> OracleSql.repSignals,
     "token_counts" -> OracleSql.tokenCounts,

@@ -459,6 +459,62 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * cluster-then-cosine — k-means the embedding space (the SAME spherical
+    * Lloyd kernel as the IVF index, [[trainCentroids]]), then compare
+    * pairs only WITHIN a cluster and emit those above `threshold`. The
+    * clustering is what makes semantic dedup tractable: candidate
+    * generation drops from O(N^2) to sum over clusters of |c|^2, and the
+    * per-cluster join is keyed on list_id — never a cartesian.
+    *
+    * Scale shape: assignment is the zero-exchange centroid-literal argmax
+    * projection; the candidate join carries ids only (vectors join back
+    * by vec_id afterwards — the ids-only discipline of every candidate
+    * generator in this repo); `maxCluster` guards degenerate clusters the
+    * same hash-agg + left_semi way as the LSH bucket caps (a cluster
+    * bigger than the cap is exactly the case where you re-train with a
+    * bigger nlist instead of letting one join key go quadratic).
+    */
+  def semanticDedupPairs(emb: DataFrame, nlist: Int = 16, kmeansIters: Int = 2,
+      threshold: Double = 0.95, maxCluster: Int = 10000): DataFrame = {
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = trainCentroids(emb, nlist, kmeansIters)
+    val ids = base
+      .withColumn("list_id",
+        graft.functions.VectorExpr.argmax_dot(col("v"), typedlit(cents)))
+      .select(col("vec_id"), col("list_id"))
+      .repartition(col("list_id"))
+    val underCap = ids.groupBy("list_id").agg(count(lit(1)).as("cn"))
+      .filter(col("cn") <= maxCluster).select("list_id")
+    val guarded = ids.join(underCap, Seq("list_id"), "left_semi")
+    val cand = guarded.as("a").join(guarded.as("b"),
+        col("a.list_id") === col("b.list_id") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val va = base.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      .repartition(col("vec_a"))
+    val vb = base.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      .repartition(col("vec_b"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Per-vector keep/drop verdict from [[semanticDedupPairs]]: a vector
+    * is dropped when ANY smaller-id neighbor sits above the threshold —
+    * the deterministic "keep the earliest representative" policy. (For
+    * TRANSITIVE group collapse use ConnectedComponents.dedupClusters on
+    * the pair graph instead; SemDeDup's published policy is per-cluster
+    * representative choice, which this matches under id order.)
+    */
+  def semanticDedup(emb: DataFrame, nlist: Int = 16, kmeansIters: Int = 2,
+      threshold: Double = 0.95, maxCluster: Int = 10000): DataFrame = {
+    val drops = semanticDedupPairs(emb, nlist, kmeansIters, threshold, maxCluster)
+      .select(col("vec_b").as("vec_id")).distinct()
+    emb.select("vec_id")
+      .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(!col("dropped"), lit(true)).as("keep"))
+  }
+
   /** Per-dimension (min, max) over the corpus — the scalar-quantization
     * training pass: one explode + map-side-combined hash agg keyed on the
     * dimension index (`dim` rows total), collected driver-side like the

@@ -282,6 +282,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan(parsed).contains("*(1)"), plan(parsed).take(800))
   }
 
+  test("decontam: gram-keyed joins + hash aggregates — no Window, no nested-loop") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val s = plan(graft.ops.Decontam.splitAndOverlap(docs, n = 8))
+    assert(!s.contains("Window"), s.take(2000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+    assert(!s.contains("BroadcastNestedLoopJoin"), s.take(2000))
+  }
+
+  test("semantic dedup candidate join is keyed on list_id — never a cartesian") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val s = plan(graft.ops.Similarity.semanticDedupPairs(emb,
+      nlist = 4, kmeansIters = 1, threshold = 0.95))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+    assert(!s.contains("BroadcastNestedLoopJoin"), s.take(2000))
+    // the bucket guard is the hash-agg + left_semi prune, not a window
+    assert(!s.contains("Window"), s.take(2000))
+  }
+
   test("CEP batch plan: one conv_id exchange + in-partition sort, no Window") {
     val p = TranscriptGen.ensure(spark, "/root/testdata/sf0.001")
     val s = plan(graft.ops.Cep.searchRuns(
