@@ -523,7 +523,13 @@ object Bench {
         graft.ops.Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.05)),
       "minhash_pairs" -> ((d: DataFrame) =>
         graft.ops.Dedup.minhashLshPairs(d, numHashes = 64, bands = 16, threshold = 0.2)),
-      "curation_pipeline" -> ((d: DataFrame) => graft.ops.Curation.curate(d)))
+      "curation_pipeline" -> ((d: DataFrame) => graft.ops.Curation.curate(d)),
+      // round 5: the gram-keyed decontamination join (no df prune by
+      // design) — the stress corpus's zero cross-replica overlap means
+      // the holdout gram set grows linearly while true leak structure
+      // stays per-replica, exactly the shape that exposes a quadratic
+      // term if the gram join ever degenerates
+      "decontam" -> ((d: DataFrame) => graft.ops.Decontam.splitAndOverlap(d, n = 8)))
     // ln-ln least-squares slope over the measured points
     def fitExponent(pts: Seq[(Int, Double)]): Double = {
       val xs = pts.map(p => math.log(p._1.toDouble))
@@ -563,9 +569,14 @@ object Bench {
         val in = java.nio.file.Files.createTempDirectory("graft_bench_cur_in").toString
         val out = java.nio.file.Files.createTempDirectory("graft_bench_cur_out").toString
         val ck = java.nio.file.Files.createTempDirectory("graft_bench_cur_ck").toString
+        // mode("overwrite"): createTempDirectory already CREATED `in`, and
+        // a plain parquet write refuses an existing path — this phase
+        // silently failed (caught → field omitted) in every run until
+        // round 5 spotted the [bench] FAILED line
         corpusDf.select(col("doc_id"), col("text"),
             lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"))
-          .write.option("parquet.enable.dictionary", "false").parquet(in)
+          .write.mode("overwrite")
+          .option("parquet.enable.dictionary", "false").parquet(in)
         val cfg = graft.streaming.StreamCuration.Config(in, out, ck,
           maxFilesPerTrigger = 8, availableNow = true)
         val sec = timeIt {

@@ -411,6 +411,22 @@ object SparkEntry {
         .select("doc_id", "media_type", "n_bytes")
         .orderBy("doc_id")
     }),
+    "heavy_hitters" -> ((s, dir) => { // Misra-Gries frequent-items sketch
+      // (the third classic mergeable summary beside HLL + GK): capacity
+      // 1000 >> corpus vocabulary, so no decrement ever fires and the
+      // sketch is provably EXACT — the oracle re-derives top-20 word
+      // counts directly; the error regime is spec-tested with planted
+      // skew (exactness outside that regime is not SQL-expressible)
+      val hh = udaf(graft.functions.HeavyHitters(1000))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .agg(hh(col("word")).as("hh"))
+        .select(explode(col("hh")).as("wc"))
+        .select(col("wc.word").as("word"), col("wc.count").as("cnt"))
+        .orderBy(desc("cnt"), asc("word"))
+        .limit(20)
+    }),
     "quantile_approx" -> ((s, dir) => // GK sketch beside exact percentile;
       // sketch value is engine-specific, so the oracle asserts the BOUND
       graft.ops.Aggregates.quantileStats(tx(s, dir)).orderBy("role")),
@@ -492,6 +508,14 @@ object SparkEntry {
     "ivf_topk" -> OracleSql.ivfVerify,
     "ivf_topk_indexed" -> OracleSql.ivfIndexedVerify,
     "ivf_topk_appended" -> OracleSql.ivfAppendedVerify,
+    "heavy_hitters" ->
+      """SELECT w AS word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents)
+        |WHERE len(w) > 0
+        |GROUP BY w
+        |ORDER BY cnt DESC, word
+        |LIMIT 20""".stripMargin,
     "quantile_approx" -> OracleSql.quantileApprox(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "cep_match" -> OracleSql.cepMatches(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
     "tool_seq" -> OracleSql.toolSeq(TranscriptGen.fixtureDir("/root/testdata/sf0.01")),
