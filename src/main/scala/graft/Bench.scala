@@ -528,8 +528,11 @@ object Bench {
       // design) — the stress corpus's zero cross-replica overlap means
       // the holdout gram set grows linearly while true leak structure
       // stays per-replica, exactly the shape that exposes a quadratic
-      // term if the gram join ever degenerates
-      "decontam" -> ((d: DataFrame) => graft.ops.Decontam.splitAndOverlap(d, n = 8)))
+      // term if the gram join ever degenerates. n=3 (not the oracle's 8):
+      // 8-grams of this corpus are so sparse the phase finishes
+      // sub-second at every scale and the exponent fit is pure noise;
+      // 3-grams carry the dense-overlap load the fit needs
+      "decontam" -> ((d: DataFrame) => graft.ops.Decontam.splitAndOverlap(d, n = 3)))
     // ln-ln least-squares slope over the measured points
     def fitExponent(pts: Seq[(Int, Double)]): Double = {
       val xs = pts.map(p => math.log(p._1.toDouble))

@@ -542,6 +542,37 @@ FROM s LEFT JOIN sizes USING (doc_id) LEFT JOIN shared USING (doc_id)
 WHERE s.split = 'train'
 ORDER BY doc_id"""
 
+  /** C4-style line dedup: planted boilerplate (one shared line per doc,
+    * an extra one on every 5th), keeper = (doc_id, pos)-smallest
+    * occurrence of each distinct line. The engine picks keepers with a
+    * hash-agg min(struct); this oracle uses a row_number window — the
+    * independent-formulation pattern. string_agg skips the NULLed
+    * dropped lines exactly as collect_list skips nulls.
+    */
+  val lineDedup: String = """
+WITH input AS (
+  SELECT doc_id,
+    text || chr(10) || 'subscribe to our newsletter today' ||
+    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'follow us on social media'
+         ELSE '' END AS text
+  FROM documents),
+l AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(parts)),
+      i -> struct_pack(pos := i - 1, line := parts[i]))) AS pl
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM input)),
+l2 AS (SELECT doc_id, CAST(pl.pos AS INT) AS pos, pl.line AS line FROM l),
+k AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1 AS keep
+  FROM l2)
+SELECT doc_id,
+  count(*) AS n_lines,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos),
+    '') AS clean_text
+FROM k GROUP BY doc_id ORDER BY doc_id"""
+
   /** PII scan: literal same RE2-compatible patterns as the engine, Luhn
     * re-derived in SQL (same form as the decisions oracle), counts on raw
     * text per lane, redaction chain email → card → ip → phone with the

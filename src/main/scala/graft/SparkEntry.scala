@@ -246,6 +246,19 @@ object SparkEntry {
         docs.unionByName(bridges), n = 3, threshold = 0.05)
         .orderBy("doc_id")
     }),
+    "line_dedup" -> ((s, dir) => { // C4-style cross-corpus line dedup:
+      // planted page structure — every doc gains a shared boilerplate
+      // line, every 5th an extra one — and each repeated line survives
+      // only at its (doc_id, pos)-smallest occurrence. Engine keeps the
+      // keeper via a hash-agg min(struct); the oracle windows — two
+      // independent formulations.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"), lit("\nsubscribe to our newsletter today"),
+          when(col("doc_id") % 5 === 0, lit("\nfollow us on social media"))
+            .otherwise(lit(""))).as("text"))
+      graft.ops.Dedup.lineDedup(planted).orderBy("doc_id")
+    }),
     "ngram_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.ngramJaccardPairs(
         s.read.parquet(s"$dir/documents.parquet"), n = 3, threshold = 0.05)
@@ -527,6 +540,7 @@ object SparkEntry {
     "curation_pipeline" -> OracleSql.curationPipeline,
     "dedup_exact" -> OracleSql.dedupExact,
     "ngram_jaccard" -> OracleSql.ngramJaccard,
+    "line_dedup" -> OracleSql.lineDedup,
     "dedup_clusters" -> OracleSql.dedupClusters,
     "decontam" -> OracleSql.decontam,
     "pii_scan" -> OracleSql.piiScan,

@@ -250,4 +250,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  // ------------------------------------------------------------- line dedup
+
+  /** C4-style cross-corpus LINE dedup (Raffel et al. 2020 §2.2: "we
+    * discarded all but one of any three-sentence span occurring more than
+    * once" — the line/span granularity between exact-doc and near-dup):
+    * every distinct line keeps exactly ONE occurrence corpus-wide — the
+    * (doc_id, pos)-smallest — and every other occurrence is dropped from
+    * its document. This is THE boilerplate killer: repeated nav/footer/
+    * subscribe lines vanish from all but one page while unique prose
+    * survives untouched.
+    *
+    * Output per doc: n_lines, n_kept, clean_text (surviving lines
+    * re-joined in original order; "" when everything was dropped).
+    *
+    * Scale shape: posexplode (narrow) → keeper choice as ONE hash
+    * aggregate `min(struct(doc_id, pos))` keyed on the line — a map-side-
+    * combined groupBy, deliberately NOT the row_number window the naive
+    * formulation uses (the DuckDB oracle windows on purpose: independent
+    * formulation) → hash join back on the line key → per-doc re-assembly
+    * as a sorted-array fold, no second window. Line-frequency skew (the
+    * same boilerplate line on every page) is exactly one hot aggregate
+    * key: partial aggregation collapses each task's occurrences to one
+    * row before the exchange, so the hot key costs one row per task, not
+    * a shuffled row per occurrence.
+    */
+  def lineDedup(docs: DataFrame, sepRegex: String = "\n",
+      joinSep: String = "\n", textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "line")))
+    val keeper = lines.groupBy("line")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    lines.join(keeper, Seq("line"))
+      .withColumn("keep",
+        col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          joinSep).as("clean_text"))
+  }
 }

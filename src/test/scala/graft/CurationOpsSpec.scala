@@ -66,6 +66,45 @@ class CurationOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // -------------------------------------------------------------- line dedup
+
+  test("lineDedup: a repeated line survives only at its smallest (doc_id, pos)") {
+    val docs = Seq(
+      (1L, "alpha\nboiler\nbeta"),
+      (2L, "boiler\ngamma"),
+      (3L, "boiler\nboiler\ndelta"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.lineDedup(docs)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 3L, "alpha\nboiler\nbeta")))
+    assert(out(2L) == ((2L, 1L, "gamma")))
+    assert(out(3L) == ((3L, 1L, "delta")))
+  }
+
+  test("lineDedup: within-doc repeats collapse; all-boilerplate docs go empty") {
+    val docs = Seq(
+      (1L, "x\nx\ny"), // within-doc repeat: keep pos 0 only
+      (2L, "x\ny")) // everything already seen in doc 1
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.lineDedup(docs)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 2L, "x\ny")))
+    assert(out(2L) == ((2L, 0L, "")))
+  }
+
+  test("lineDedup is invariant to input partitioning") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id",
+        concat($"text", lit("\nshared boilerplate line")).as("text"))
+    val a = graft.ops.Dedup.lineDedup(docs.repartition(1)).collect().toSet
+    val b = graft.ops.Dedup.lineDedup(docs.repartition(11, $"text")).collect().toSet
+    assert(a == b)
+    // exactly one doc (the smallest) keeps the boilerplate
+    assert(a.count(_.getLong(2) == 2L) == 1)
+  }
+
   // ---------------------------------------------------------------- PII scan
 
   test("pii: lanes count and redact hand-built text") {

@@ -291,6 +291,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("BroadcastNestedLoopJoin"), s.take(2000))
   }
 
+  test("line dedup: keeper choice is a hash-agg min(struct), no Window, hot key partial-agg'd") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val s = plan(graft.ops.Dedup.lineDedup(docs))
+    assert(!s.contains("Window"), s.take(2000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+    // partial aggregation collapses each task's occurrences of a hot
+    // boilerplate line to one row before the exchange
+    assert("partial_min".r.findAllIn(s).nonEmpty ||
+      "partial min".r.findAllIn(s).nonEmpty || s.contains("HashAggregate"),
+      s.take(2000))
+  }
+
   test("semantic dedup candidate join is keyed on list_id — never a cartesian") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val s = plan(graft.ops.Similarity.semanticDedupPairs(emb,
