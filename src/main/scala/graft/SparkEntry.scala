@@ -336,6 +336,13 @@ object SparkEntry {
       // ULPs differ across engines)
       graft.ops.LangModel.lmScore(s,
         s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
+    "tfidf_top" -> ((s, dir) => // per-doc top-3 TF-IDF terms: two hash
+      // aggs + a word join + per-doc array_sort top-k (no Window); the
+      // oracle re-derives tf, df, ln-score AND rank independently via a
+      // row_number window — two formulations must agree
+      graft.ops.TextMetrics.tfidfTop(
+        s.read.parquet(s"$dir/documents.parquet"), k = 3)
+        .orderBy("doc_id", "rank")),
     "doc_fingerprint" -> ((s, dir) =>
       graft.ops.TextMetrics.fingerprint(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")),
@@ -552,6 +559,21 @@ object SparkEntry {
     "lang_id_trained" -> OracleSql.langIdTrained,
     "lm_score" -> OracleSql.lmScore,
     "doc_fingerprint" -> OracleSql.docFingerprint,
+    "tfidf_top" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+        |       WHERE len(word) > 0 GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |        tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+        |      FROM tf JOIN df USING (word) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, word) AS rank FROM s)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, word, tf, df, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "cosine_topk" -> OracleSql.cosineTopK,
     "sq_topk" -> OracleSql.sqTopK,
     "multimodal_meta" -> OracleSql.multimodalMeta,

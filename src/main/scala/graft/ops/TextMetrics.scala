@@ -167,4 +167,40 @@ object TextMetrics {
       (r2.getField("best").cast("double") / nChars).as("top2_frac"),
       (r3.getField("dup").cast("double") / nChars).as("dup3_frac"))
   }
+
+  /** Per-document top-k TF-IDF terms — the classic keyword/topic signal a
+    * curation pipeline uses for corpus profiling and domain balancing.
+    * score = tf(doc, word) * ln(N / df(word)), natural log, raw counts
+    * (no normalization — the oracle re-derives the exact arithmetic).
+    *
+    * Scale shape: two map-side-combined hash aggregates (tf on (doc,
+    * word), df on word — df is tf's own re-aggregation, so the corpus is
+    * scanned once) + a word-keyed join + a per-doc top-k chosen by
+    * sorting each doc's OWN term list (array_sort of a per-group
+    * collect_list, bounded by the doc's distinct-word count) — no Window,
+    * no global sort; the per-group list is the document's vocabulary,
+    * which is bounded by document length, never by corpus size.
+    */
+  def tfidfTop(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
+    val n = docs.count() // one scalar: N for the idf denominator
+    val tf = docs
+      .select(col("doc_id"), explode(words(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("word"))
+      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+    scored
+      .groupBy("doc_id")
+      .agg(slice(array_sort(collect_list(
+        // struct sorts ascending field-by-field: negated score first ⇒
+        // score DESC, then word ASC on ties — the deterministic total
+        // order both engines share
+        struct((-col("score")).as("neg"), col("word"), col("tf"),
+          col("df"), col("score")))), 1, k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("doc_id"), (col("pos") + 1).as("rank"),
+        col("t.word").as("word"), col("t.tf").as("tf"),
+        col("t.df").as("df"), col("t.score").as("score"))
+  }
 }

@@ -142,6 +142,45 @@ class CurationOpsSpec extends SparkSpec {
     assert(!s.contains("Exchange"), s.take(1200))
   }
 
+  // -------------------------------------------------------------- tf-idf
+
+  test("tfidfTop: hand-computed scores, rank order, ties broken by word") {
+    // N=3; df: a→3 (idf 0), b→2, c→1, d→1
+    val docs = Seq(
+      (1L, "a a b c"),
+      (2L, "a b"),
+      (3L, "a d d"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextMetrics.tfidfTop(docs, k = 2)
+      .as[(Long, Int, String, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._6)).toList).toMap
+    val ln32 = math.log(3.0 / 2)
+    val ln3 = math.log(3.0)
+    // score compare at 1e-12: Spark's log codegen goes through
+    // StrictMath.log, one ULP off java.lang.Math.log for some inputs
+    def close(got: List[(String, Double)], want: List[(String, Double)]): Unit = {
+      assert(got.map(_._1) == want.map(_._1), s"$got vs $want")
+      got.zip(want).foreach { case ((_, g), (_, w)) =>
+        assert(math.abs(g - w) < 1e-12, s"$got vs $want") }
+    }
+    // doc1: c=1*ln3 (0.477) > b=1*ln(3/2) (0.405) > a=0
+    close(out(1L), List(("c", ln3), ("b", ln32)))
+    // doc2: b=ln(3/2) > a=0
+    close(out(2L), List(("b", ln32), ("a", 0.0)))
+    // doc3: d=2*ln3 > a=0
+    close(out(3L), List(("d", 2 * ln3), ("a", 0.0)))
+  }
+
+  test("tfidfTop is invariant to input partitioning") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val a = graft.ops.TextMetrics.tfidfTop(docs.repartition(1), k = 3).collect().toSet
+    val b = graft.ops.TextMetrics.tfidfTop(docs.repartition(9, $"text"), k = 3)
+      .collect().toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   // ---------------------------------------------------------- semantic dedup
 
   test("semanticDedup: planted twins pair at cos 1.0 and the later twin drops") {
