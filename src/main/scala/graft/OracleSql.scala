@@ -542,6 +542,58 @@ FROM s LEFT JOIN sizes USING (doc_id) LEFT JOIN shared USING (doc_id)
 WHERE s.split = 'train'
 ORDER BY doc_id"""
 
+  /** Trained logistic-regression quality classifier: the ENTIRE
+    * full-batch-GD chain re-derived — three iterations unrolled as
+    * chained aggregate CTEs (standard SQL forbids aggregates in a
+    * recursive member, and a fixed iteration count unrolls exactly).
+    * Iteration 1 uses the literal 0.5 because sigma(0) = 1/2 exactly in
+    * both engines; double sum-order noise across engines is ~1e-15 and
+    * the driver's hash rounds at 1e-9.
+    */
+  val qualityClassifier: String = """
+WITH f AS (
+  SELECT doc_id, CAST(lang = 'en' AS DOUBLE) AS y,
+    1.0 AS x0,
+    length(text) / 1000.0 AS x1,
+    len(ws) / 100.0 AS x2,
+    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE)
+      / greatest(len(ws), 1) / 10.0 AS x3
+  FROM (SELECT doc_id, lang, text,
+          string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents)),
+g1 AS (
+  SELECT avg((0.5 - y) * x0) AS g0, avg((0.5 - y) * x1) AS g1,
+         avg((0.5 - y) * x2) AS g2, avg((0.5 - y) * x3) AS g3 FROM f),
+w1 AS (
+  SELECT -0.5 * g0 AS w0, -0.5 * g1 AS w1, -0.5 * g2 AS w2, -0.5 * g3 AS w3
+  FROM g1),
+g2 AS (
+  SELECT
+    avg((1.0/(1.0 + exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3))) - y) * x0) AS g0,
+    avg((1.0/(1.0 + exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3))) - y) * x1) AS g1,
+    avg((1.0/(1.0 + exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3))) - y) * x2) AS g2,
+    avg((1.0/(1.0 + exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3))) - y) * x3) AS g3
+  FROM f CROSS JOIN w1 w),
+w2 AS (
+  SELECT w.w0 - 0.5*g.g0 AS w0, w.w1 - 0.5*g.g1 AS w1,
+         w.w2 - 0.5*g.g2 AS w2, w.w3 - 0.5*g.g3 AS w3
+  FROM w1 w CROSS JOIN g2 g),
+g3 AS (
+  SELECT
+    avg((1.0/(1.0 + exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3))) - y) * x0) AS g0,
+    avg((1.0/(1.0 + exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3))) - y) * x1) AS g1,
+    avg((1.0/(1.0 + exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3))) - y) * x2) AS g2,
+    avg((1.0/(1.0 + exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3))) - y) * x3) AS g3
+  FROM f CROSS JOIN w2 w),
+w3 AS (
+  SELECT w.w0 - 0.5*g.g0 AS w0, w.w1 - 0.5*g.g1 AS w1,
+         w.w2 - 0.5*g.g2 AS w2, w.w3 - 0.5*g.g3 AS w3
+  FROM w2 w CROSS JOIN g3 g)
+SELECT f.doc_id, f.y,
+  1.0/(1.0 + exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3))) AS p,
+  1.0/(1.0 + exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3))) >= 0.5 AS pred
+FROM f CROSS JOIN w3 w
+ORDER BY doc_id"""
+
   /** C4-style line dedup: planted boilerplate (one shared line per doc,
     * an extra one on every 5th), keeper = (doc_id, pos)-smallest
     * occurrence of each distinct line. The engine picks keepers with a
@@ -734,6 +786,53 @@ SELECT doc_id,
   len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
 FROM documents ORDER BY doc_id"""
+
+  /** Gopher ruleset — identical arithmetic to GopherRules.flags: counts
+    * via replace-subtraction and list HOFs, every flag integer-exact.
+    */
+  val gopherRules: String = {
+    val req = graft.ops.GopherRules.requiredStopwords
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    val (minW, maxW) = (50, 100000)
+    s"""
+WITH b AS (
+  SELECT doc_id, text,
+    lower(trim(text)) AS lt,
+    string_split_regex(lower(trim(text)), '\\s+') AS ws,
+    string_split(text, chr(10)) AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(greatest(len(ws), 1) AS DOUBLE) AS nw,
+    CAST(length(regexp_replace(lt, '\\s+', '', 'g')) AS DOUBLE)
+      / greatest(len(ws), 1) AS mean_word_len,
+    CAST((length(text) - length(replace(text, '#', ''))) AS BIGINT)
+      + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+      AS symbols,
+    CAST(greatest(len(lines), 1) AS DOUBLE) AS nl,
+    len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+      OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '•'))) AS bullets,
+    len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS ellipses,
+    len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+    len(list_intersect(list_distinct(ws), $req)) AS stop_hits
+  FROM b),
+f AS (
+  SELECT doc_id, n_words,
+    n_words BETWEEN $minW AND $maxW AS ok_word_count,
+    mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+    CAST(symbols AS DOUBLE) / nw <= 0.1 AS ok_symbol_ratio,
+    CAST(bullets AS DOUBLE) / nl <= 0.9 AS ok_bullet_lines,
+    CAST(ellipses AS DOUBLE) / nl <= 0.3 AS ok_ellipsis_lines,
+    CAST(alpha_words AS DOUBLE) / nw >= 0.8 AS ok_alpha_words,
+    stop_hits >= 2 AS ok_stopwords
+  FROM m)
+SELECT doc_id, n_words, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+  ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words, ok_stopwords,
+  ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND ok_bullet_lines
+    AND ok_ellipsis_lines AND ok_alpha_words AND ok_stopwords AS keep
+FROM f ORDER BY doc_id"""
+  }
 
   /** Stopword-hit language ID, first-in-order argmax (de,en,es,fr). */
   val langId: String = {
@@ -1141,7 +1240,11 @@ ORDER BY t.doc_id"""
     * in different orders / ULPs across engines, so bit-equality is the
     * wrong contract for this one float column.
     */
-  val lmScore: String = """
+  /** The train+score CTE chain shared by `lm_score` and
+    * `perplexity_buckets`: trigram counts, Laplace smoothing, per-doc mean
+    * log-likelihood under the 'en' model, ending at CTE `f`.
+    */
+  private val lmScoreChain: String = """
 WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
 tri AS (
   SELECT doc_id, substring(lt, CAST(i AS INT), 3) AS g
@@ -1166,11 +1269,32 @@ f AS (
     CASE WHEN sc.n_trigrams IS NULL THEN 0.0
          ELSE sc.score / sc.n_trigrams END AS mean_logp
   FROM t LEFT JOIN sc USING (doc_id)
-)
+)"""
+
+  val lmScore: String = s"""$lmScoreChain
 SELECT f.doc_id, f.n_trigrams,
   CASE WHEN abs(f.mean_logp - o.mean_logp) < 1e-8 THEN o.mean_logp
        ELSE f.mean_logp END AS mean_logp
 FROM f JOIN read_parquet('{OUT}/lm_score/*.parquet') o USING (doc_id)
+ORDER BY doc_id"""
+
+  /** CCNet-style perplexity bucketing: terciles of the corpus lm score,
+    * thresholds via SQL-standard continuous quantiles (the exact
+    * semantics of Spark `percentile`). Bucket membership compares
+    * IN-ENGINE scores against IN-ENGINE thresholds, so cross-engine ln
+    * noise cancels unless a tercile boundary gap is below ~1e-9 — the
+    * fixture corpus's adjacent-score gaps are ~1e-3.
+    */
+  val perplexityBuckets: String = s"""$lmScoreChain,
+th AS (
+  SELECT quantile_cont(mean_logp, 1.0/3) AS t13,
+         quantile_cont(mean_logp, 2.0/3) AS t23
+  FROM f)
+SELECT f.doc_id,
+  CASE WHEN f.mean_logp >= th.t23 THEN 'head'
+       WHEN f.mean_logp >= th.t13 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM f CROSS JOIN th
 ORDER BY doc_id"""
 
   /** bpe_token_counts: ws_tokens and the tokens-cover-text invariant

@@ -314,6 +314,10 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       graft.ops.TextMetrics.quality(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")),
+    "gopher_rules" -> ((s, dir) => // Gopher Table-A1 ruleset: named
+      // per-rule boolean flags + conjunctive keep, one codegen projection
+      graft.ops.GopherRules.flags(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")),
     "token_counts" -> ((s, dir) =>
       graft.ops.TextMetrics.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")),
@@ -330,11 +334,24 @@ object SparkEntry {
       // training + smoothing + argmax all re-derived by the DuckDB oracle
       graft.ops.LangModel.langIdTrained(s,
         s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
+    "quality_classifier" -> ((s, dir) => // trained logistic-regression
+      // quality filter (DCLM/fastText shape): 3 full-batch GD iterations
+      // — one scan each, d+1 gradient avgs, driver update — then a
+      // narrow scoring projection; the oracle unrolls the SAME three
+      // iterations as chained aggregate CTEs
+      graft.ops.QualityModel.trainAndClassify(
+        s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
     "lm_score" -> ((s, dir) => // CCNet-style LM quality signal: mean
       // trigram log-likelihood under the corpus-trained 'en' model; the
       // oracle re-derives the full train+score chain (1e-8 verify — ln
       // ULPs differ across engines)
       graft.ops.LangModel.lmScore(s,
+        s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
+    "perplexity_buckets" -> ((s, dir) => // CCNet head/middle/tail
+      // terciles of the trained-LM score: narrow scoring + a 2-value
+      // exact-percentile agg broadcast back; both engines threshold their
+      // OWN scores, so ln noise cancels
+      graft.ops.PerplexityBuckets.buckets(s,
         s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
     "tfidf_top" -> ((s, dir) => // per-doc top-3 TF-IDF terms: two hash
       // aggs + a word join + per-doc array_sort top-k (no Window); the
@@ -479,6 +496,12 @@ object SparkEntry {
     "hash_sample" -> ((s, dir) => // deterministic md5-bucket train/val split
       graft.ops.Sampling.hashSplit(
         s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
+    "domain_quota" -> ((s, dir) => // RefinedWeb-style per-domain cap:
+      // bounded-heap MinKByKey aggregate (<= cap rows per domain reach
+      // the exchange), row-identical to the row_number window form
+      graft.ops.Sampling.domainQuota(
+        s.read.parquet(s"$dir/documents.parquet"), cap = 10)
+        .orderBy("doc_id")),
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -552,12 +575,15 @@ object SparkEntry {
     "decontam" -> OracleSql.decontam,
     "pii_scan" -> OracleSql.piiScan,
     "text_quality" -> OracleSql.textQuality,
+    "gopher_rules" -> OracleSql.gopherRules,
     "rep_signals" -> OracleSql.repSignals,
     "token_counts" -> OracleSql.tokenCounts,
     "bpe_token_counts" -> OracleSql.bpeTokenCounts,
     "lang_id" -> OracleSql.langId,
     "lang_id_trained" -> OracleSql.langIdTrained,
     "lm_score" -> OracleSql.lmScore,
+    "perplexity_buckets" -> OracleSql.perplexityBuckets,
+    "quality_classifier" -> OracleSql.qualityClassifier,
     "doc_fingerprint" -> OracleSql.docFingerprint,
     "tfidf_top" ->
       """WITH w AS (
@@ -600,6 +626,13 @@ object SparkEntry {
         |FROM r JOIN c USING (lang)
         |WHERE r.rk <= ceil(c.n_stratum * 0.2)
         |ORDER BY doc_id""".stripMargin,
+    "domain_quota" ->
+      """WITH r AS (SELECT source AS domain, doc_id,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM documents)
+        |SELECT domain, doc_id, CAST(rk AS BIGINT) AS rk FROM r
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
     "hash_sample" ->
       """SELECT doc_id,
         |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,

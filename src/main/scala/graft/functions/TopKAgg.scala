@@ -63,3 +63,51 @@ final case class TopKByScore(k: Int)
 
   def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
 }
+
+/** One per-domain quota candidate: deterministic hash order key + id. */
+final case class KeyedId(sort_key: String, doc_id: Long)
+
+/** Bounded per-group min-k by (sort_key ASC, doc_id ASC) — the same
+  * bounded-heap discipline as [[TopKByScore]] but ordered ascending over a
+  * string key: the "at most N documents per domain, chosen by hash order"
+  * quota of RefinedWeb-style curation. Identical total order to
+  * `row_number() OVER (PARTITION BY domain ORDER BY sort_key, doc_id)`,
+  * so results match the window formulation row-for-row while the exchange
+  * carries <= tasks x domains x k rows — a hot domain never concentrates
+  * its candidate set on one task the way a window sort does.
+  */
+final case class MinKByKey(k: Int)
+    extends Aggregator[KeyedId, ArrayBuffer[KeyedId], Seq[KeyedId]] {
+  require(k > 0, s"k must be positive: $k")
+
+  private def better(a: KeyedId, b: KeyedId): Boolean = {
+    val c = a.sort_key.compareTo(b.sort_key)
+    c < 0 || (c == 0 && a.doc_id < b.doc_id)
+  }
+
+  def zero: ArrayBuffer[KeyedId] = ArrayBuffer.empty[KeyedId]
+
+  def reduce(b: ArrayBuffer[KeyedId], x: KeyedId): ArrayBuffer[KeyedId] = {
+    if (b.length >= k) {
+      if (!better(x, b.last)) return b
+      b.remove(b.length - 1)
+    }
+    var i = b.length
+    while (i > 0 && better(x, b(i - 1))) i -= 1
+    b.insert(i, x)
+    b
+  }
+
+  def merge(x: ArrayBuffer[KeyedId], y: ArrayBuffer[KeyedId]): ArrayBuffer[KeyedId] = {
+    var i = 0
+    var acc = x
+    while (i < y.length) { acc = reduce(acc, y(i)); i += 1 }
+    acc
+  }
+
+  def finish(b: ArrayBuffer[KeyedId]): Seq[KeyedId] = b.toSeq
+
+  def bufferEncoder: Encoder[ArrayBuffer[KeyedId]] = ExpressionEncoder()
+
+  def outputEncoder: Encoder[Seq[KeyedId]] = ExpressionEncoder()
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+  * Language Models: ... Gopher", Table A1) — the rule-based pre-filter
+  * every web-scale curation pipeline runs before any learned filter.
+  * Distinct from [[TextMetrics.quality]] (a composite score): this is the
+  * published RULESET — each rule a named boolean flag plus the conjunctive
+  * keep decision, so a pipeline can audit WHICH rule rejected a document.
+  *
+  * Scale shape: one codegen'd projection — zero shuffle, zero state; the
+  * scan is the only cost at 100 TB. Counting uses replace-subtraction and
+  * array HOFs (never engine-specific regex counting), so every flag is
+  * integer-exact and the DuckDB oracle matches bit-for-bit.
+  */
+object GopherRules {
+
+  /** Stopwords Gopher requires at least two of (Table A1's "must contain
+    * at least 2 of ..." rule; same published list).
+    */
+  val requiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Substring occurrence count via replace-subtraction — identical
+    * non-overlapping left-to-right semantics in Spark and DuckDB, unlike
+    * regex counting.
+    */
+  private def occurrences(t: Column, sub: String): Column =
+    ((length(t) - length(replace(t, lit(sub), lit("")))) / lit(sub.length))
+      .cast("long")
+
+  /** Per-document rule flags + keep. Bounds are Gopher's published
+    * values; `minWords` is lowered from 50 via the parameter for corpora
+    * of short documents.
+    */
+  def flags(docs: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val lower_t = lower(trim(t))
+    val ws = split(lower_t, "\\s+")
+    val nWords = size(ws).cast("long")
+    val nWordsSafe = greatest(nWords, lit(1L)).cast("double")
+    val meanWordLen =
+      length(regexp_replace(lower_t, "\\s+", "")).cast("double") / nWordsSafe
+    val symbols = occurrences(t, "#") + occurrences(t, "...")
+    val lines = split(t, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletStarts = size(filter(lines, l => {
+      val lt = ltrim(l)
+      lt.startsWith("- ") || lt.startsWith("* ") || lt.startsWith("•")
+    }))
+    val ellipsisEnds = size(filter(lines, l => rtrim(l).endsWith("...")))
+    val alphaWords = size(filter(ws, w => w.rlike("[a-z]")))
+    // distinct-intersect, not filter-with-ws-in-the-lambda-body: keeps the
+    // split CSE-shareable (the repo's HOF discipline) and counts each
+    // required stopword once
+    val stopHits = size(array_intersect(
+      array_distinct(ws), typedLit(requiredStopwords)))
+    docs.select(col("doc_id"),
+      nWords.as("n_words"),
+      nWords.between(minWords, maxWords).as("ok_word_count"),
+      meanWordLen.between(3.0, 10.0).as("ok_mean_word_len"),
+      (symbols.cast("double") / nWordsSafe <= 0.1).as("ok_symbol_ratio"),
+      (bulletStarts.cast("double") / nLines <= 0.9).as("ok_bullet_lines"),
+      (ellipsisEnds.cast("double") / nLines <= 0.3).as("ok_ellipsis_lines"),
+      (alphaWords.cast("double") / nWordsSafe >= 0.8).as("ok_alpha_words"),
+      (stopHits >= 2).as("ok_stopwords"))
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+        col("ok_symbol_ratio") && col("ok_bullet_lines") &&
+        col("ok_ellipsis_lines") && col("ok_alpha_words") && col("ok_stopwords"))
+  }
+}

@@ -56,6 +56,31 @@ object Sampling {
     * stratum bounds a single task: for corpora with few huge strata
     * prefer [[hashSplit]], which is exact-in-expectation and narrow.
     */
+  /** Per-domain quota (RefinedWeb-style): keep at most `cap` documents
+    * per domain, chosen deterministically by md5(id) order (id tiebreak)
+    * — the anti-concentration cap that stops one boilerplate-heavy site
+    * from dominating a web corpus.
+    *
+    * Scale shape: the bounded-heap `MinKByKey` aggregate, NOT a window —
+    * each task reduces its rows to <= cap per domain before the exchange
+    * (partial ObjectHashAggregate), so the shuffle carries at most
+    * tasks x domains x cap rows and a hot domain parallelizes across
+    * tasks instead of sorting on one. Emitted `rk` (1-based hash-order
+    * rank) is row-identical to the `row_number` window formulation.
+    */
+  def domainQuota(docs: DataFrame, cap: Int = 10,
+      domainCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val mk = org.apache.spark.sql.functions.udaf(graft.functions.MinKByKey(cap))
+    docs.select(col(domainCol).as("domain"),
+        md5(col(idCol).cast("string")).as("sort_key"),
+        col(idCol).cast("long").as("doc_id"))
+      .groupBy("domain")
+      .agg(mk(col("sort_key"), col("doc_id")).as("kept"))
+      .select(col("domain"), posexplode(col("kept")).as(Seq("pos", "t")))
+      .select(col("domain"), col("t.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
   def stratifiedSample(docs: DataFrame, strataCol: String = "lang",
       frac: Double = 0.2, idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

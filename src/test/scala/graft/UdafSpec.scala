@@ -62,4 +62,42 @@ class UdafSpec extends SparkSpec {
     val s = flattenPlan(plan).map(_.verboseString(5)).mkString("\n")
     assert(s.contains("partial_exactquantile"), s.take(1500))
   }
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("domain quota is row-identical to the row_number window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val cap = 7
+    val got = graft.ops.Sampling.domainQuota(docs, cap = cap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val want = docs.select(col("source").as("domain"), col("doc_id"),
+        row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= cap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.groupBy(_._1).forall(_._2.size == cap)) // 25 docs per source
+  }
+
+  test("domain quota is deterministic across partitionings and caps at group size") {
+    def run(d: org.apache.spark.sql.DataFrame, cap: Int) =
+      graft.ops.Sampling.domainQuota(d, cap = cap)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(docs, 10) == run(docs.repartition(17), 10))
+    // cap above every group size: everything kept
+    assert(run(docs, 1000).size == docs.count())
+  }
+
+  test("domain quota plans bounded-heap partial+final ObjectHashAggregate, no Window") {
+    val q = graft.ops.Sampling.domainQuota(docs.repartition(4), cap = 5)
+    q.collect()
+    val plan = q.queryExecution.executedPlan
+    val s = flattenPlan(plan).map(_.verboseString(5)).mkString("\n")
+    assert(!s.contains("Window"), s.take(1500))
+    val aggs = flattenPlan(plan).collect { case o: ObjectHashAggregateExec => o }
+    assert(aggs.size == 2, s"expected partial+final ObjectHashAggregate:\n$plan")
+    assert(s.contains("partial_minkbykey"), s.take(1500))
+  }
 }
