@@ -871,6 +871,77 @@ SELECT doc_id,
     (acc, c) -> (acc * 31 + c) % ${graft.ops.TextMetrics.FpMod}) AS fingerprint
 FROM n ORDER BY doc_id"""
 
+  /** The DuckDB form of TextMetrics.charFp applied to a lambda-bound
+    * string `x`: polynomial rolling hash, identical arithmetic.
+    */
+  private def sqlCharFp(x: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(1, length($x)), i -> CAST(ascii($x[i]) AS BIGINT))),
+      (acc, c) -> (acc * 31 + c) % ${graft.ops.TextMetrics.FpMod})"""
+
+  /** dsir_weights: the ENTIRE DSIR train+score chain re-derived — hashed
+    * word buckets, Laplace-smoothed target/source distributions, per-doc
+    * summed log ratio. The float log_weight uses the 1e-8 pass-through
+    * verify (sum order + ln ULPs differ across engines).
+    */
+  val dsirWeights: String = {
+    val m = graft.ops.Dsir.NumBuckets
+    s"""
+WITH w AS (
+  SELECT doc_id, lang,
+    string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+wb AS (
+  SELECT doc_id, lang,
+    list_transform(ws, x -> ${sqlCharFp("x")} % $m) AS bs
+  FROM w),
+e AS (SELECT doc_id, lang, unnest(bs) AS b FROM wb),
+counts AS (
+  SELECT b, count(*) AS cs,
+    count(CASE WHEN lang = 'en' THEN 1 END) AS ct
+  FROM e GROUP BY b),
+tot AS (SELECT sum(cs) AS stot, sum(ct) AS ttot FROM counts),
+lr AS (
+  SELECT b, ln((ct + 1.0) / (ttot + $m)) - ln((cs + 1.0) / (stot + $m)) AS r
+  FROM counts CROSS JOIN tot),
+f AS (
+  SELECT e.doc_id, count(*) AS n_words, sum(lr.r) AS log_weight
+  FROM e JOIN lr USING (b) GROUP BY e.doc_id)
+SELECT f.doc_id, f.n_words,
+  CASE WHEN abs(f.log_weight - o.log_weight) < 1e-8 THEN o.log_weight
+       ELSE f.log_weight END AS log_weight
+FROM f JOIN read_parquet('{OUT}/dsir_weights/*.parquet') o USING (doc_id)
+ORDER BY doc_id"""
+  }
+
+  /** span_dedup: per-word hashes, length-W window hashes, corpus-wide
+    * occurrence counts, per-doc duplicated-window rollup — all
+    * integer-exact (the dup fraction is one IEEE division).
+    */
+  val spanDedup: String = {
+    val fpMod = graft.ops.TextMetrics.FpMod
+    val w = 10
+    s"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+fp AS (
+  SELECT doc_id, list_transform(ws, x -> ${sqlCharFp("x")}) AS wfps FROM t),
+wh AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, greatest(len(wfps) - ${w - 1}, 0)),
+    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), wfps[i:i+${w - 1}]),
+      (acc, x) -> (acc * 31 + x) % $fpMod)) AS whs
+  FROM fp),
+e AS (SELECT doc_id, unnest(whs) AS wh FROM wh),
+d AS (SELECT wh FROM (SELECT wh, count(*) AS c FROM e GROUP BY 1) WHERE c >= 2),
+pd AS (SELECT e.doc_id, count(*) AS dup_windows FROM e JOIN d USING (wh) GROUP BY 1)
+SELECT h.doc_id,
+  CAST(len(h.whs) AS BIGINT) AS n_windows,
+  CAST(coalesce(pd.dup_windows, 0) AS BIGINT) AS dup_windows,
+  CASE WHEN len(h.whs) = 0 THEN 0.0
+       ELSE CAST(coalesce(pd.dup_windows, 0) AS DOUBLE) / len(h.whs) END AS dup_frac
+FROM wh h LEFT JOIN pd USING (doc_id) ORDER BY doc_id"""
+  }
+
   /** End-to-end curation pipeline (ops/Curation.scala): exact dedup →
     * near-dup removal (3-gram Jaccard >= 0.5, maxDf 1000, drop the larger
     * doc_id) → language filter (stopword-hit argmax = 'en') → md5-bucket

@@ -347,6 +347,15 @@ object SparkEntry {
       // ULPs differ across engines)
       graft.ops.LangModel.lmScore(s,
         s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
+    "dsir_weights" -> ((s, dir) => // DSIR importance weights: one pass
+      // builds both hashed-unigram distributions (m<=128 rows), scoring
+      // is a narrow fold over a literal log-ratio table
+      graft.ops.Dsir.weights(
+        s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
+    "span_dedup" -> ((s, dir) => // Lee-et-al-style exact-substring spans:
+      // narrow window hashing + hash-agg dup set + left_semi count-back
+      graft.ops.SpanDedup.profile(
+        s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
     "perplexity_buckets" -> ((s, dir) => // CCNet head/middle/tail
       // terciles of the trained-LM score: narrow scoring + a 2-value
       // exact-percentile agg broadcast back; both engines threshold their
@@ -583,6 +592,8 @@ object SparkEntry {
     "lang_id_trained" -> OracleSql.langIdTrained,
     "lm_score" -> OracleSql.lmScore,
     "perplexity_buckets" -> OracleSql.perplexityBuckets,
+    "dsir_weights" -> OracleSql.dsirWeights,
+    "span_dedup" -> OracleSql.spanDedup,
     "quality_classifier" -> OracleSql.qualityClassifier,
     "doc_fingerprint" -> OracleSql.docFingerprint,
     "tfidf_top" ->

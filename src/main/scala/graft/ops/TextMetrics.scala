@@ -98,6 +98,17 @@ object TextMetrics {
 
   val FpMod = 72057594037927931L // < 2^56: acc*31 + 255 never overflows Long
 
+  /** Per-string polynomial rolling hash — the same acc*31+ascii arithmetic
+    * as [[fingerprint]] exposed as a composable Column, so Dsir's feature
+    * buckets and SpanDedup's window hashes are engine-reproducible
+    * (DuckDB `list_reduce` computes the identical value).
+    */
+  def charFp(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * 31 + c, lit(FpMod)))
+
   /** Polynomial rolling-hash fingerprint over the character stream of the
     * whitespace-normalized text: acc = (acc*31 + ascii(c)) mod FpMod.
     * Order-sensitive (a true rolling hash), pure Catalyst `aggregate` HOF.

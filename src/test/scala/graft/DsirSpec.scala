@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dsir, TextMetrics}
+
+/** DSIR importance weighting: hand-checked hash/ratio arithmetic vs a
+  * plain-Scala re-computation, learned target signal on the corpus,
+  * determinism, and the narrow-scoring plan.
+  */
+class DsirSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  // plain-Scala mirrors of the column arithmetic
+  private def fp(s: String): Long =
+    s.foldLeft(0L)((acc, c) => math.floorMod(acc * 31 + c.toInt, TextMetrics.FpMod))
+  private def bkt(s: String): Int = (fp(s) % Dsir.NumBuckets).toInt
+
+  test("train + score match the hand computation on a toy corpus") {
+    import spark.implicits._
+    val toy = Seq((1L, "en", "aa bb"), (2L, "de", "aa cc"))
+      .toDF("doc_id", "lang", "text")
+    val lr = Dsir.trainLogRatios(toy)
+    val m = Dsir.NumBuckets
+    // counts: aa appears in both docs, bb only in target, cc only in source
+    val cs = Map(bkt("aa") -> 2L, bkt("bb") -> 1L, bkt("cc") -> 1L)
+    val ct = Map(bkt("aa") -> 1L, bkt("bb") -> 1L, bkt("cc") -> 0L)
+    for (b <- Seq(bkt("aa"), bkt("bb"), bkt("cc"))) {
+      val want = math.log((ct(b) + 1.0) / (2 + m)) - math.log((cs(b) + 1.0) / (4 + m))
+      assert(math.abs(lr(b) - want) < 1e-12, s"bucket $b")
+    }
+    val got = Dsir.score(toy, lr).as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 == 2 && got(2L)._1 == 2)
+    assert(math.abs(got(1L)._2 - (lr(bkt("aa")) + lr(bkt("bb")))) < 1e-12)
+    assert(math.abs(got(2L)._2 - (lr(bkt("aa")) + lr(bkt("cc")))) < 1e-12)
+  }
+
+  test("target-language documents score higher on average") {
+    val out = Dsir.weights(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en").agg(avg(col("log_weight") / col("n_words")))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(out(true) > out(false),
+      s"en ${out(true)} !> other ${out(false)}")
+  }
+
+  test("deterministic across partitionings (exact)") {
+    import spark.implicits._
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dsir.weights(d).as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(run(docs) == run(docs.repartition(17)))
+  }
+
+  test("scoring over the literal ratio table plans zero Exchange") {
+    val lr = Array.fill(Dsir.NumBuckets)(0.1)
+    val s = Dsir.score(docs, lr).queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange"), s.take(1200))
+  }
+}
