@@ -1022,6 +1022,79 @@ UNION ALL
 SELECT conv_id, 'search_only' AS op FROM (SELECT * FROM s EXCEPT SELECT * FROM c)
 ORDER BY op, conv_id"""
 
+  /** curation_pipeline2: the round-5 data-selection composition —
+    * exact dedup → span gate → Gopher rules (en-profile stopwords) →
+    * survivor-trained perplexity terciles (drop tail) → per-domain quota.
+    * Each CTE block mirrors its already-green per-operator oracle; this
+    * checks the COMPOSITION (survivor-set coupling between stages, incl.
+    * the LM training corpus being stage-3 survivors, not `documents`).
+    */
+  val curationPipeline2: String = {
+    val m = graft.ops.TextMetrics.FpMod
+    val enStops = graft.ops.TextMetrics.stopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    val (spanW1, cap) = (9, 5) // spanW-1; quota cap
+    s"""
+WITH
+h0 AS (SELECT doc_id, md5(trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS text_hash
+       FROM documents),
+k0 AS (SELECT doc_id FROM (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY text_hash) AS k FROM h0) WHERE k),
+s1 AS (SELECT d.* FROM documents d JOIN k0 USING (doc_id)),
+w2 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM s1),
+fp2 AS (SELECT doc_id, list_transform(ws, x -> ${sqlCharFp("x")}) AS wfps FROM w2),
+wh2 AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(wfps) - $spanW1, 0)),
+    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), wfps[i:i+$spanW1]),
+         (acc, x) -> (acc * 31 + x) % $m)) AS whs FROM fp2),
+e2 AS (SELECT doc_id, unnest(whs) AS wh FROM wh2),
+d2 AS (SELECT wh FROM (SELECT wh, count(*) AS c FROM e2 GROUP BY 1) WHERE c >= 2),
+pd2 AS (SELECT e2.doc_id, count(*) AS dup FROM e2 JOIN d2 USING (wh) GROUP BY 1),
+s2 AS (SELECT s1.* FROM s1 JOIN wh2 USING (doc_id) LEFT JOIN pd2 USING (doc_id)
+       WHERE len(wh2.whs) = 0 OR CAST(coalesce(pd2.dup, 0) AS DOUBLE) / len(wh2.whs) <= 0.5),
+b3 AS (SELECT doc_id, text, lower(trim(text)) AS lt,
+       string_split_regex(lower(trim(text)), '\\s+') AS ws,
+       string_split(text, chr(10)) AS lines FROM s2),
+m3 AS (SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(greatest(len(ws), 1) AS DOUBLE) AS nw,
+    CAST(length(regexp_replace(lt, '\\s+', '', 'g')) AS DOUBLE) / greatest(len(ws), 1) AS mwl,
+    CAST((length(text) - length(replace(text, '#', ''))) AS BIGINT)
+      + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS symbols,
+    CAST(greatest(len(lines), 1) AS DOUBLE) AS nl,
+    len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+      OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '•'))) AS bullets,
+    len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS ellipses,
+    len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+    len(list_intersect(list_distinct(ws), $enStops)) AS stop_hits
+  FROM b3),
+g3 AS (SELECT doc_id FROM m3 WHERE n_words BETWEEN 50 AND 100000
+    AND mwl BETWEEN 3.0 AND 10.0 AND CAST(symbols AS DOUBLE) / nw <= 0.1
+    AND CAST(bullets AS DOUBLE) / nl <= 0.9 AND CAST(ellipses AS DOUBLE) / nl <= 0.3
+    AND CAST(alpha_words AS DOUBLE) / nw >= 0.8 AND stop_hits >= 2),
+s3 AS (SELECT s2.* FROM s2 JOIN g3 USING (doc_id)),
+t4 AS (SELECT doc_id, lower(text) AS lt FROM s3),
+tri4 AS (SELECT doc_id, substring(lt, CAST(i AS INT), 3) AS g
+  FROM t4, LATERAL unnest(generate_series(1, greatest(len(lt) - 2, 0))) AS u(i)),
+tl4 AS (SELECT tri4.doc_id, d.lang, g FROM tri4 JOIN (SELECT doc_id, lang FROM s3) d USING (doc_id)),
+model4 AS (SELECT lang AS mlang, g, count(*) AS c FROM tl4 GROUP BY 1, 2),
+totals4 AS (SELECT mlang, sum(c) AS tot FROM model4 GROUP BY 1),
+vocab4 AS (SELECT count(DISTINCT g) AS v FROM tl4),
+sc4 AS (SELECT tri4.doc_id, count(*) AS n_tri,
+    SUM(ln((COALESCE(mm.c, 0) + 1.0) / (tt.tot + v.v))) AS score
+  FROM tri4 LEFT JOIN model4 mm ON mm.mlang = 'en' AND mm.g = tri4.g
+  CROSS JOIN (SELECT tot FROM totals4 WHERE mlang = 'en') tt CROSS JOIN vocab4 v
+  GROUP BY tri4.doc_id),
+f4 AS (SELECT t4.doc_id, CASE WHEN sc4.n_tri IS NULL THEN 0.0 ELSE sc4.score / sc4.n_tri END AS mean_logp
+  FROM t4 LEFT JOIN sc4 USING (doc_id)),
+th4 AS (SELECT quantile_cont(mean_logp, 1.0/3) AS t13, quantile_cont(mean_logp, 2.0/3) AS t23 FROM f4),
+pb4 AS (SELECT f4.doc_id, CASE WHEN f4.mean_logp >= th4.t23 THEN 'head'
+    WHEN f4.mean_logp >= th4.t13 THEN 'middle' ELSE 'tail' END AS bucket FROM f4 CROSS JOIN th4),
+s4 AS (SELECT s3.*, pb4.bucket FROM s3 JOIN pb4 USING (doc_id) WHERE pb4.bucket != 'tail'),
+r5 AS (SELECT source AS domain, doc_id, bucket,
+    row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM s4)
+SELECT doc_id, domain, bucket, CAST(rk AS BIGINT) AS rk
+FROM r5 WHERE rk <= $cap ORDER BY doc_id"""
+  }
+
   def cubeStats(txDir: String): String = s"""
 SELECT role, text IS NOT NULL AS has_text, count(*) AS n
 FROM read_parquet('$txDir/transcripts.parquet/*.parquet')

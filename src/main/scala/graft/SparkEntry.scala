@@ -220,6 +220,12 @@ object SparkEntry {
     "curation_pipeline" -> ((s, dir) => // end-to-end curation composition
       graft.ops.Curation.curate(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")),
+    "curation_pipeline2" -> ((s, dir) => // round-5 data-selection
+      // composition: exact dedup -> span gate -> Gopher rules ->
+      // survivor-trained perplexity terciles -> per-domain quota; the
+      // oracle re-derives the WHOLE chain incl. survivor-set coupling
+      graft.ops.Curation.curate2(s,
+        s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
     "dedup_exact" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val planted = docs.select("doc_id", "text").unionByName(
@@ -585,6 +591,7 @@ object SparkEntry {
     "pii_scan" -> OracleSql.piiScan,
     "text_quality" -> OracleSql.textQuality,
     "gopher_rules" -> OracleSql.gopherRules,
+    "curation_pipeline2" -> OracleSql.curationPipeline2,
     "rep_signals" -> OracleSql.repSignals,
     "token_counts" -> OracleSql.tokenCounts,
     "bpe_token_counts" -> OracleSql.bpeTokenCounts,

@@ -48,6 +48,53 @@ object Curation {
       .select("doc_id", "split", "ws_tokens", "bpe_ish_tokens")
   }
 
+  /** The round-5 composition over the data-selection generation of
+    * operators — the pipeline shape of a modern web-scale curation stack
+    * (RefinedWeb/Gopher/CCNet lineage):
+    *
+    *   exact dedup → exact-substring span gate (drop docs that are mostly
+    *   duplicated spans) → Gopher rule filter → perplexity bucketing over
+    *   the survivors (drop the tail tercile) → per-domain quota.
+    *
+    * Like [[curate]], every stage is an individually-oracled operator and
+    * the whole chain is re-derived in SQL (`curation_pipeline2`). The
+    * Gopher stopword rule uses the corpus's own langId profile (the
+    * published English list assumes prose this synthetic corpus doesn't
+    * have — it would reject everything, which is a property of the
+    * fixture, not the operator).
+    *
+    * Scale shape: span profiling is the only stage with a corpus-wide
+    * key agg (window-hash dup set + left_semi back); Gopher is narrow;
+    * the LM train is one pass over survivors; bucketing is a 2-value agg
+    * broadcast; the quota is the bounded-heap aggregate. No stage
+    * shuffles text except the span explode, which carries (doc_id, hash).
+    */
+  def curate2(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      spanW: Int = 10, spanDupFrac: Double = 0.5,
+      quota: Int = 5): DataFrame = {
+    // 1. exact dedup — keep the smallest doc_id of each duplicate group
+    val s1 = Dedup.exact(docs)
+      .filter(col("keep")).select("doc_id")
+      .join(docs, Seq("doc_id"))
+    // 2. span gate: drop docs more than spanDupFrac duplicated-span text
+    val spanOk = SpanDedup.profile(s1, w = spanW)
+      .filter(col("dup_frac") <= spanDupFrac).select("doc_id")
+    val s2 = s1.join(spanOk, Seq("doc_id"))
+    // 3. Gopher rules with the corpus's en stopword profile
+    val enStops = TextMetrics.stopwords.toMap.apply("en")
+    val gOk = GopherRules.flags(s2, stopwords = enStops)
+      .filter(col("keep")).select("doc_id")
+    val s3 = s2.join(gOk, Seq("doc_id"))
+    // 4. perplexity terciles trained on the survivors; drop the tail
+    val kept = PerplexityBuckets.buckets(spark, s3)
+      .filter(col("bucket") =!= "tail")
+    val s4 = s3.join(kept, Seq("doc_id"))
+    // 5. per-domain quota over what's left
+    Sampling.domainQuota(s4, cap = quota)
+      .join(s4.select(col("doc_id"), col("bucket")), Seq("doc_id"))
+      .select("doc_id", "domain", "bucket", "rk")
+  }
+
   /** The MinHash-LSH variant of [[curate]] — the batch counterpart of
     * `streaming.StreamCuration` (agreement-tested against it): exact dedup
     * → MinHash-LSH near-dup removal (drop the larger doc_id of each pair —

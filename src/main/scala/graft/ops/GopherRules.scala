@@ -33,10 +33,13 @@ object GopherRules {
 
   /** Per-document rule flags + keep. Bounds are Gopher's published
     * values; `minWords` is lowered from 50 via the parameter for corpora
-    * of short documents.
+    * of short documents, and `stopwords` swaps the required list for a
+    * corpus-appropriate one (Gopher's own list assumes full English prose;
+    * `Curation.curate2` passes the corpus's langId profile instead).
     */
   def flags(docs: DataFrame, textCol: String = "text",
-      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopwords: Seq[String] = requiredStopwords): DataFrame = {
     val t = col(textCol)
     val lower_t = lower(trim(t))
     val ws = split(lower_t, "\\s+")
@@ -57,7 +60,7 @@ object GopherRules {
     // split CSE-shareable (the repo's HOF discipline) and counts each
     // required stopword once
     val stopHits = size(array_intersect(
-      array_distinct(ws), typedLit(requiredStopwords)))
+      array_distinct(ws), typedLit(stopwords)))
     docs.select(col("doc_id"),
       nWords.as("n_words"),
       nWords.between(minWords, maxWords).as("ok_word_count"),

@@ -217,4 +217,43 @@ class CurationOpsSpec extends SparkSpec {
       threshold = 0.9, maxCluster = 10).as[(Long, Boolean)].collect()
     assert(keep.forall(_._2))
   }
+
+  // --------------------------------------------------------------- curate2
+
+  private lazy val corpus =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("curate2: stage coupling — survivors replay the five gates in order") {
+    import graft.ops._
+    val out = Curation.curate2(spark, corpus).cache()
+    val got = out.select("doc_id").as[Long].collect().toSet
+    assert(got.nonEmpty)
+    // replay the chain with the component operators directly
+    val s1 = Dedup.exact(corpus).filter(col("keep")).select("doc_id")
+      .join(corpus, Seq("doc_id"))
+    val s2 = s1.join(SpanDedup.profile(s1).filter(col("dup_frac") <= 0.5)
+      .select("doc_id"), Seq("doc_id"))
+    val en = TextMetrics.stopwords.toMap.apply("en")
+    val s3 = s2.join(GopherRules.flags(s2, stopwords = en)
+      .filter(col("keep")).select("doc_id"), Seq("doc_id"))
+    val pb = PerplexityBuckets.buckets(spark, s3)
+    val s4 = s3.join(pb.filter(col("bucket") =!= "tail"), Seq("doc_id"))
+    val want = Sampling.domainQuota(s4, cap = 5).select("doc_id")
+      .as[Long].collect().toSet
+    assert(got == want)
+    // per-domain quota honored; buckets never 'tail'; ranks 1-based dense
+    val byDom = out.groupBy("domain").agg(count(lit(1)).as("n"),
+      max("rk").as("mx")).collect()
+    byDom.foreach { r =>
+      assert(r.getLong(1) <= 5 && r.getLong(2) == r.getLong(1), r.toString) }
+    assert(out.filter(col("bucket") === "tail").count() == 0)
+    out.unpersist()
+  }
+
+  test("curate2 is deterministic across partitionings") {
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Curation.curate2(spark, d)
+        .collect().map(_.toSeq).toSet
+    assert(run(corpus) == run(corpus.repartition(17)))
+  }
 }
