@@ -72,10 +72,19 @@ object Curation {
   def curate2(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
       spanW: Int = 10, spanDupFrac: Double = 0.5,
       quota: Int = 5): DataFrame = {
+    // Persist boundaries at the survivor frames are load-bearing, not an
+    // optimization nicety: each gate's frame feeds MULTIPLE downstream
+    // actions (the gate's own profile branch, the join back, and — worst
+    // — the LM training's several aggregation scans over s3). Without
+    // them Catalyst re-executes the whole upstream chain, span shuffle
+    // included, once per scan: measured 54 s vs ~7 s at sf0.1. At
+    // production scale these are MEMORY_AND_DISK survivor snapshots —
+    // exactly the stage materialization a multi-gate curation DAG needs.
     // 1. exact dedup — keep the smallest doc_id of each duplicate group
     val s1 = Dedup.exact(docs)
       .filter(col("keep")).select("doc_id")
       .join(docs, Seq("doc_id"))
+      .cache()
     // 2. span gate: drop docs more than spanDupFrac duplicated-span text
     val spanOk = SpanDedup.profile(s1, w = spanW)
       .filter(col("dup_frac") <= spanDupFrac).select("doc_id")
@@ -84,11 +93,11 @@ object Curation {
     val enStops = TextMetrics.stopwords.toMap.apply("en")
     val gOk = GopherRules.flags(s2, stopwords = enStops)
       .filter(col("keep")).select("doc_id")
-    val s3 = s2.join(gOk, Seq("doc_id"))
+    val s3 = s2.join(gOk, Seq("doc_id")).cache()
     // 4. perplexity terciles trained on the survivors; drop the tail
     val kept = PerplexityBuckets.buckets(spark, s3)
       .filter(col("bucket") =!= "tail")
-    val s4 = s3.join(kept, Seq("doc_id"))
+    val s4 = s3.join(kept, Seq("doc_id")).cache()
     // 5. per-domain quota over what's left
     Sampling.domainQuota(s4, cap = quota)
       .join(s4.select(col("doc_id"), col("bucket")), Seq("doc_id"))
