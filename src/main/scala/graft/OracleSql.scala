@@ -1290,6 +1290,22 @@ ORDER BY vec_a, vec_b"""
   /** ivf_topk: re-verify the cosine of every emitted (q,candidate) row AND
     * that the emitted rank equals cos-desc order within the emitted set.
     */
+  /** pq_topk: the shortlist is codebook-approximate by construction, but
+    * the final ranks are exact-cosine over the reranked survivors — cos
+    * AND rank re-derived from raw embeddings, same form as ivfVerify.
+    */
+  val pqVerify: String = s"""
+WITH p AS (SELECT q_id, vec_id FROM read_parquet('{OUT}/pq_topk/*.parquet')),
+scored AS (
+  SELECT p.q_id, p.vec_id, ${cosExpr("q.embedding", "e.embedding")} AS cos
+  FROM p
+  JOIN embeddings q ON q.vec_id = p.q_id
+  JOIN embeddings e ON e.vec_id = p.vec_id
+)
+SELECT q_id, vec_id, cos,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+FROM scored ORDER BY q_id, rank"""
+
   val ivfVerify: String = s"""
 WITH p AS (SELECT q_id, vec_id FROM read_parquet('{OUT}/ivf_topk/*.parquet')),
 scored AS (

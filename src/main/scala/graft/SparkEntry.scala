@@ -388,6 +388,13 @@ object SparkEntry {
       graft.ops.Similarity.sqTopK(
         s.read.parquet(s"$dir/embeddings.parquet"), k = 10, stride = 50)
         .orderBy("q_id", "rank")),
+    "pq_topk" -> ((s, dir) => // product-quantized shortlist (32x
+      // compression, ADC bounded heap) + exact-cosine rerank of the
+      // <= Q x shortlist survivors; final ranks are exact, so the oracle
+      // re-derives cos + rank from raw embeddings like the IVF oracles
+      graft.ops.Similarity.pqTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), k = 10, stride = 50)
+        .orderBy("q_id", "rank")),
     "ivf_topk" -> ((s, dir) => // candidate set approximate by construction;
       // the oracle re-derives cos + rank for the emitted rows from {OUT}
       graft.ops.Similarity.ivfTopK(
@@ -564,6 +571,7 @@ object SparkEntry {
     "lsh_cosine_pairs" -> OracleSql.lshCosineVerify,
     "semantic_dedup" -> OracleSql.semanticDedupVerify,
     "ivf_topk" -> OracleSql.ivfVerify,
+    "pq_topk" -> OracleSql.pqVerify,
     "ivf_topk_indexed" -> OracleSql.ivfIndexedVerify,
     "ivf_topk_appended" -> OracleSql.ivfAppendedVerify,
     "heavy_hitters" ->

@@ -134,4 +134,61 @@ class QualityOpsSpec extends SparkSpec {
       .agg(max("e")).head().getDouble(0)
     assert(err <= maxStep / 2 + 1e-12, s"max err $err vs step $maxStep")
   }
+
+  // ----------------------------------------------------------------- pqTopK
+
+  test("pq top-k: compressed shortlist + exact rerank keeps high recall vs brute") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteTopK(emb, k = 10, stride = 50)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val pq = Similarity.pqTopK(emb, k = 10, stride = 50)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(pq.keySet === exact.keySet)
+    val recalls = exact.map { case (q, ids) =>
+      (pq(q) intersect ids).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean recall@10 only $mean")
+  }
+
+  test("pq codes: m codes per vector, each within [0, k)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.pqTrain(emb, m = 8, k = 16, iters = 1)
+    assert(cb.size == 8 && cb.forall(_.size == 16) && cb.forall(_.forall(_.size == 8)))
+    val codes = emb.select(Similarity.pqCodes(
+        col("embedding").cast("array<double>"), cb, sub = 8).as("c"))
+    assert(codes.filter(size(col("c")) =!= 8).count() == 0)
+    assert(codes.select(explode(col("c")).as("x"))
+      .filter(col("x") < 0 || col("x") >= 16).count() == 0)
+  }
+
+  test("pq training tightens quantization error; recon has full dimensionality") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def mse(cb: Seq[Seq[Seq[Double]]]): Double =
+      emb.select(
+          Similarity.pqRecon(col("embedding").cast("array<double>"), cb, sub = 8).as("r"),
+          col("embedding").cast("array<double>").as("v"))
+        .select(aggregate(zip_with(col("r"), col("v"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("e"))
+        .agg(avg("e")).head().getDouble(0)
+    val e0 = mse(Similarity.pqTrain(emb, iters = 0))
+    val e3 = mse(Similarity.pqTrain(emb, iters = 3))
+    assert(e3 < e0, s"Lloyd iterations must not worsen distortion: $e3 !< $e0")
+    val d = emb.select(size(Similarity.pqRecon(
+      col("embedding").cast("array<double>"), Similarity.pqTrain(emb, iters = 1),
+      sub = 8)).as("n")).distinct().as[Int].collect().toSeq
+    assert(d == Seq(64))
+  }
+
+  test("pq top-k plans bounded-heap final, no Window") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.pqTopK(emb, k = 5, stride = 100)
+    q.collect()
+    val s = flattenPlan(q.queryExecution.executedPlan)
+      .map(_.verboseString(5)).mkString("\n")
+    assert(!s.contains("Window"), s.take(1500))
+    assert(s.contains("partial_topkbyscore"), s.take(1500))
+  }
 }
