@@ -1306,6 +1306,32 @@ SELECT q_id, vec_id, cos,
   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
 FROM scored ORDER BY q_id, rank"""
 
+  /** jl_distortion: the FULL projection + both cosines re-derived — the
+    * sign matrix is injected as the identical literal (entries +-0.25,
+    * exact doubles), folds run in the same ascending order, so the
+    * compare is bit-exact with no tolerance pass-through. Matrix shape
+    * pinned to the fixture's 64-dim embeddings.
+    */
+  val jlDistortion: String = {
+    val p = graft.ops.Similarity.jlMatrix(64, 16)
+    val pLit = p.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"""
+WITH pm AS (SELECT $pLit AS p),
+b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pr AS (SELECT vec_id, v,
+  list_transform(generate_series(1, 16), j ->
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, 64),
+      i -> v[i] * p[i][j])), (a, c) -> a + c)) AS pv
+  FROM b CROSS JOIN pm),
+q AS (SELECT vec_id AS q_id, v AS qv, pv AS pqv FROM pr WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id, v, pv FROM pr WHERE vec_id % 17 = 0)
+SELECT q.q_id, c.vec_id,
+  ${cosExpr("q.qv", "c.v")} AS cos_orig,
+  ${cosExpr("q.pqv", "c.pv")} AS cos_proj
+FROM c JOIN q ON c.vec_id != q.q_id
+ORDER BY q_id, vec_id"""
+  }
+
   val ivfVerify: String = s"""
 WITH p AS (SELECT q_id, vec_id FROM read_parquet('{OUT}/ivf_topk/*.parquet')),
 scored AS (

@@ -388,6 +388,13 @@ object SparkEntry {
       graft.ops.Similarity.sqTopK(
         s.read.parquet(s"$dir/embeddings.parquet"), k = 10, stride = 50)
         .orderBy("q_id", "rank")),
+    "jl_distortion" -> ((s, dir) => // Johnson-Lindenstrauss sign
+      // projection 64->16 dims: sampled-pair cosine in original vs
+      // projected space; matrix + folds identical in both engines, so
+      // the oracle compare is bit-exact
+      graft.ops.Similarity.jlDistortion(
+        s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy("q_id", "vec_id")),
     "pq_topk" -> ((s, dir) => // product-quantized shortlist (32x
       // compression, ADC bounded heap) + exact-cosine rerank of the
       // <= Q x shortlist survivors; final ranks are exact, so the oracle
@@ -572,6 +579,7 @@ object SparkEntry {
     "semantic_dedup" -> OracleSql.semanticDedupVerify,
     "ivf_topk" -> OracleSql.ivfVerify,
     "pq_topk" -> OracleSql.pqVerify,
+    "jl_distortion" -> OracleSql.jlDistortion,
     "ivf_topk_indexed" -> OracleSql.ivfIndexedVerify,
     "ivf_topk_appended" -> OracleSql.ivfAppendedVerify,
     "heavy_hitters" ->

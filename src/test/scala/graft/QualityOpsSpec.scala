@@ -191,4 +191,37 @@ class QualityOpsSpec extends SparkSpec {
     assert(!s.contains("Window"), s.take(1500))
     assert(s.contains("partial_topkbyscore"), s.take(1500))
   }
+
+  // ------------------------------------------------------- JL projection
+
+  test("jl projection: 16 dims, deterministic, preserves cosine structure") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.jlDistortion(emb).cache()
+    assert(out.select(countDistinct("q_id")).head().getLong(0) > 0)
+    // a 64->16 sign projection keeps cosines near the original on average
+    val meanErr = out.select(avg(abs(col("cos_orig") - col("cos_proj"))))
+      .head().getDouble(0)
+    assert(meanErr < 0.25, s"mean |cos_orig - cos_proj| = $meanErr")
+    // and correlates: projected cosine is not noise. The ceiling here is
+    // the fixture, not the op: pairwise cos_orig std is only 0.12 while
+    // JL noise at k=16 is ~1/sqrt(k)=0.25, so corr ~0.47 IS the
+    // theoretical behavior (measured, deterministic — exact arithmetic)
+    val corr = out.stat.corr("cos_orig", "cos_proj")
+    assert(corr > 0.4, s"corr only $corr")
+    // bit-exact determinism across partitionings (literal matrix, fixed
+    // fold order)
+    val a = out.collect().map(_.toSeq).toSet
+    val b = Similarity.jlDistortion(emb.repartition(17)).collect().map(_.toSeq).toSet
+    assert(a == b)
+    out.unpersist()
+  }
+
+  test("jl projection plans zero Exchange up to the pair join") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val p = Similarity.jlMatrix(64, 16)
+    val s = base.select(Similarity.jlProject(col("v"), p))
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange"), s.take(1200))
+  }
 }
