@@ -49,6 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // sketches (static size params as literals)
     inject("minhash_sig", 2, es => MinHashSig(es(0), intLit(es(1), "numHashes")))
     inject("simhash64", 1, es => SimHash64(es.head))
+    inject("splitmix64", 1, es => SplitMix64(es.head))
     inject("hyperplane_code", 2, es => HyperplaneCode(es(0), intLit(es(1), "planes")))
   }
 }

@@ -884,7 +884,10 @@ FROM n ORDER BY doc_id"""
     * summed log ratio. The float log_weight uses the 1e-8 pass-through
     * verify (sum order + ln ULPs differ across engines).
     */
-  val dsirWeights: String = {
+  /** The DSIR train+score CTE chain (through CTE `f`), shared by
+    * `dsir_weights` and `dsir_resample`.
+    */
+  private lazy val dsirChain: String = {
     val m = graft.ops.Dsir.NumBuckets
     s"""
 WITH w AS (
@@ -905,13 +908,34 @@ lr AS (
   FROM counts CROSS JOIN tot),
 f AS (
   SELECT e.doc_id, count(*) AS n_words, sum(lr.r) AS log_weight
-  FROM e JOIN lr USING (b) GROUP BY e.doc_id)
+  FROM e JOIN lr USING (b) GROUP BY e.doc_id)"""
+  }
+
+  val dsirWeights: String = s"""$dsirChain
 SELECT f.doc_id, f.n_words,
   CASE WHEN abs(f.log_weight - o.log_weight) < 1e-8 THEN o.log_weight
        ELSE f.log_weight END AS log_weight
 FROM f JOIN read_parquet('{OUT}/dsir_weights/*.parquet') o USING (doc_id)
 ORDER BY doc_id"""
-  }
+
+  /** dsir_resample: the Gumbel-top-k selection re-derived end-to-end —
+    * the uniform is the splitmix64 HUGEINT chain's top 53 bits (exact
+    * double), the key is log_weight - ln(-ln(u)), top-k in-engine. Both
+    * engines rank their OWN keys, so ln noise cancels away from the k-th
+    * boundary (continuous keys — gaps are O(1/n), nine orders above the
+    * noise).
+    */
+  // lazy: mixCols interpolates P64/P32, declared later in this object —
+  // a strict val here would bake in nulls at construction order
+  lazy val dsirResample: String = s"""$dsirChain,
+g AS (SELECT doc_id, log_weight, ${mixCols("m_", "CAST(doc_id AS HUGEINT)")}
+      FROM f),
+ky AS (SELECT doc_id,
+         log_weight - ln(-ln(CAST(m_out >> 11 AS DOUBLE) / 9007199254740992.0))
+           AS key
+       FROM g),
+top AS (SELECT doc_id FROM ky ORDER BY key DESC, doc_id LIMIT 50)
+SELECT doc_id FROM top ORDER BY doc_id"""
 
   /** span_dedup: per-word hashes, length-W window hashes, corpus-wide
     * occurrence counts, per-doc duplicated-window rollup — all

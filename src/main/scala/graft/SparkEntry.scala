@@ -358,6 +358,11 @@ object SparkEntry {
       // is a narrow fold over a literal log-ratio table
       graft.ops.Dsir.weights(
         s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
+    "dsir_resample" -> ((s, dir) => // DSIR's selection step: weighted
+      // sampling without replacement via deterministic Gumbel-top-k
+      // (splitmix64 uniforms); TakeOrderedAndProject, never a global sort
+      graft.ops.Dsir.resample(
+        s.read.parquet(s"$dir/documents.parquet"), k = 50).orderBy("doc_id")),
     "span_dedup" -> ((s, dir) => // Lee-et-al-style exact-substring spans:
       // narrow window hashing + hash-agg dup set + left_semi count-back
       graft.ops.SpanDedup.profile(
@@ -616,6 +621,7 @@ object SparkEntry {
     "lm_score" -> OracleSql.lmScore,
     "perplexity_buckets" -> OracleSql.perplexityBuckets,
     "dsir_weights" -> OracleSql.dsirWeights,
+    "dsir_resample" -> OracleSql.dsirResample,
     "span_dedup" -> OracleSql.spanDedup,
     "quality_classifier" -> OracleSql.qualityClassifier,
     "doc_fingerprint" -> OracleSql.docFingerprint,

@@ -87,6 +87,18 @@ object SketchKernels {
     }
     code
   }
+
+  /** splitmix64 finalizer — identical to `TranscriptGen.mix`. Exists as a
+    * native kernel because the arithmetic NEEDS mod-2^64 wraparound,
+    * which ANSI-mode Column multiplication refuses (ARITHMETIC_OVERFLOW);
+    * Java long arithmetic wraps by definition.
+    */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
 }
 
 case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
@@ -119,10 +131,22 @@ case class HyperplaneCode(child: Expression, planes: Int) extends UnaryExpressio
   override def prettyName: String = "hyperplane_code"
 }
 
+case class SplitMix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.splitmix64(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.splitmix64($c)")
+  override protected def withNewChildInternal(c: Expression): SplitMix64 = copy(child = c)
+  override def prettyName: String = "splitmix64"
+}
+
 object SketchExpr {
   import org.apache.spark.sql.GraftColumnBridge
   def minhash_sig(c: Column, numHashes: Int): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(c), numHashes))
+  def splitmix64(c: Column): Column =
+    GraftColumnBridge.column(SplitMix64(GraftColumnBridge.expression(c)))
   def simhash64(c: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c)))
   def hyperplane_code(c: Column, planes: Int): Column =

@@ -72,4 +72,40 @@ object Dsir {
   /** Train + score in one call (the `dsir_weights` query). */
   def weights(docs: DataFrame): DataFrame =
     score(docs, trainLogRatios(docs))
+
+  /** splitmix64 as a Column — the native `SplitMix64` codegen expression
+    * (ANSI-mode Column arithmetic refuses the required mod-2^64
+    * wraparound multiply); bit-identical to `TranscriptGen.mix` and the
+    * oracle's HUGEINT chain.
+    */
+  def splitmix(x: Column): Column = graft.functions.SketchExpr.splitmix64(x)
+
+  /** The DSIR selection step: weighted sampling WITHOUT replacement via
+    * deterministic Gumbel-top-k (Kool et al. 2019 machinery over Xie et
+    * al.'s importance weights) — key_i = log w_i - ln(-ln(u_i)) with u_i
+    * a splitmix64 uniform of doc_id (top 53 bits, exact double), top-k
+    * keys = a sample distributed as importance resampling, reproducible
+    * bit-for-bit by any engine with 64-bit integers.
+    *
+    * Scale shape: scoring is [[score]]'s narrow fold; the key is more
+    * narrow codegen; selection is orderBy+limit = TakeOrderedAndProject
+    * (per-partition top-k before the single merge, never a global sort).
+    */
+  def resample(docs: DataFrame, k: Int = 50): DataFrame =
+    gumbelTopK(weights(docs), k)
+
+  /** The selection itself, over any (doc_id, log_weight) frame — split
+    * from [[resample]] so the weight-bias property is testable with
+    * hand-built weights (the fixture corpus's weight spread is small
+    * against the Gumbel noise scale of ~1.28, by design of its shared
+    * vocabulary, so the bias only shows on weights with real spread).
+    */
+  def gumbelTopK(scored: DataFrame, k: Int): DataFrame = {
+    val u = shiftrightunsigned(splitmix(col("doc_id")), 11).cast("double") /
+      lit(9007199254740992.0) // 2^53 — quotient is exact
+    scored.select(col("doc_id"),
+        (col("log_weight") - log(-log(u))).as("key"))
+      .orderBy(col("key").desc, col("doc_id")).limit(k)
+      .select("doc_id")
+  }
 }

@@ -58,4 +58,37 @@ class DsirSpec extends SparkSpec {
     val s = Dsir.score(docs, lr).queryExecution.executedPlan.toString
     assert(!s.contains("Exchange"), s.take(1200))
   }
+
+  test("column splitmix64 equals the driver-side TranscriptGen.mix bit-for-bit") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 17L, 500L, Long.MaxValue, -1L, Long.MinValue)
+    val got = ids.toDF("x").select(Dsir.splitmix(col("x")))
+      .as[Long].collect().toSeq
+    assert(got == ids.map(graft.fixtures.TranscriptGen.mix))
+  }
+
+  test("gumbel-top-k resample: deterministic, k rows, subset of corpus") {
+    import spark.implicits._
+    val a = Dsir.resample(docs, k = 50).as[Long].collect().sorted.toSeq
+    val b = Dsir.resample(docs.repartition(17), k = 50).as[Long].collect().sorted.toSeq
+    assert(a == b && a.size == 50 && a.distinct.size == 50)
+    val ids = docs.select("doc_id").as[Long].collect().toSet
+    assert(a.forall(ids))
+  }
+
+  test("gumbel-top-k is weight-biased when weights have real spread") {
+    import spark.implicits._
+    // 20 heavy (log w = +8) vs 180 light (log w = -8): odds ratio e^16 —
+    // every heavy doc must beat every light doc through Gumbel noise
+    // (|g| < ~7 at n=200 with overwhelming margin, and deterministic here)
+    val scored = (0L until 200L).map(i =>
+      (i, if (i % 10 == 0) 8.0 else -8.0)).toDF("doc_id", "log_weight")
+    val got = Dsir.gumbelTopK(scored, k = 20).as[Long].collect().toSet
+    assert(got == (0L until 200L).filter(_ % 10 == 0).toSet)
+  }
+
+  test("resample plans TakeOrderedAndProject, not a global sort") {
+    val s = Dsir.resample(docs, k = 10).queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"), s.take(1200))
+  }
 }
