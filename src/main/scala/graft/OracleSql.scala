@@ -1407,6 +1407,51 @@ sh AS (
   FROM w
 )"""
 
+  /** page_rank: the near-dup edge derivation AND three damped power
+    * iterations with dangling-mass redistribution, all unrolled in SQL
+    * (the GD-unroll pattern of `quality_classifier`); the float rank uses
+    * the 1e-8 pass-through verify (neighbor-sum order + the driver-baked
+    * dangling scalar differ across engines at ~1e-15).
+    */
+  lazy val pageRank: String = {
+    def iter(i: Int): String = s"""
+dg$i AS (SELECT coalesce(sum(pr), 0.0) AS dang
+  FROM p$i LEFT JOIN deg ON p$i.doc_id = deg.src WHERE deg.src IS NULL),
+c$i AS (SELECT e.doc_b AS dst, sum(p.pr / d.deg) AS c
+  FROM edges e JOIN p$i p ON p.doc_id = e.doc_a JOIN deg d ON d.src = e.doc_a
+  GROUP BY 1),
+p${i + 1} AS (SELECT nodes.doc_id,
+    ((1.0 - 0.85) / nn.n) + 0.85 * (coalesce(c$i.c, 0.0) + dg$i.dang / nn.n) AS pr
+  FROM nodes CROSS JOIN nn CROSS JOIN dg$i
+  LEFT JOIN c$i ON c$i.dst = nodes.doc_id),"""
+    s"""
+WITH $shingleSets,
+ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 1000),
+ex AS (SELECT ex0.* FROM ex0 SEMI JOIN keep USING (g)),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+prs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2) p
+  JOIN sizes sa ON p.doc_a = sa.doc_id
+  JOIN sizes sb ON p.doc_b = sb.doc_id
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.3),
+edges AS (SELECT doc_a, doc_b FROM prs
+          UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM prs),
+nodes AS (SELECT doc_id FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT doc_a AS src, count(*) AS deg FROM edges GROUP BY 1),
+p0 AS (SELECT doc_id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+${iter(0)}${iter(1)}${iter(2)}
+f AS (SELECT doc_id, pr FROM p3)
+SELECT f.doc_id,
+  CASE WHEN abs(f.pr - o.pr) < 1e-8 THEN o.pr ELSE f.pr END AS pr
+FROM f JOIN read_parquet('{OUT}/page_rank/*.parquet') o USING (doc_id)
+ORDER BY doc_id"""
+  }
+
   /** lang_id_trained: the ENTIRE trained model re-derived in SQL —
     * trigram counts, Laplace smoothing, per-doc log-likelihood argmax
     * (score desc, lang asc tiebreak). Scores are float sums whose order

@@ -226,6 +226,11 @@ object SparkEntry {
       // oracle re-derives the WHOLE chain incl. survivor-set coupling
       graft.ops.Curation.curate2(s,
         s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
+    "page_rank" -> ((s, dir) => // damped power iteration with dangling
+      // redistribution over the near-dup graph; the oracle unrolls the
+      // same three iterations in SQL (GD-unroll pattern)
+      graft.ops.Centrality.pageRank(
+        s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
     "dedup_exact" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val planted = docs.select("doc_id", "text").unionByName(
@@ -622,6 +627,7 @@ object SparkEntry {
     "perplexity_buckets" -> OracleSql.perplexityBuckets,
     "dsir_weights" -> OracleSql.dsirWeights,
     "dsir_resample" -> OracleSql.dsirResample,
+    "page_rank" -> OracleSql.pageRank,
     "span_dedup" -> OracleSql.spanDedup,
     "quality_classifier" -> OracleSql.qualityClassifier,
     "doc_fingerprint" -> OracleSql.docFingerprint,
