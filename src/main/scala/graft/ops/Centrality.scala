@@ -62,6 +62,9 @@ object Centrality {
       pr.unpersist()
       pr = next
     }
+    // final ranks are materialized; release the working snapshots (if the
+    // final frame's blocks are later evicted it recomputes from source)
+    edges.unpersist(); nodes.unpersist(); deg.unpersist()
     pr
   }
 }

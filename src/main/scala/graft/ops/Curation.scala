@@ -94,10 +94,16 @@ object Curation {
     val gOk = GopherRules.flags(s2, stopwords = enStops)
       .filter(col("keep")).select("doc_id")
     val s3 = s2.join(gOk, Seq("doc_id")).cache()
+    s3.count() // materialized -> the s1 snapshot can be released; leaked
+    s1.unpersist() // caches under a long-lived session are real memory
+    // pressure (a bench run's eviction cascade once recomputed through a
+    // cleaner-reclaimed shuffle and aborted the job)
     // 4. perplexity terciles trained on the survivors; drop the tail
     val kept = PerplexityBuckets.buckets(spark, s3)
       .filter(col("bucket") =!= "tail")
     val s4 = s3.join(kept, Seq("doc_id")).cache()
+    s4.count()
+    s3.unpersist() // s4 (the only cache the result still reads) stays
     // 5. per-domain quota over what's left
     Sampling.domainQuota(s4, cap = quota)
       .join(s4.select(col("doc_id"), col("bucket")), Seq("doc_id"))
