@@ -621,7 +621,11 @@ object Bench {
       s"""{"n":$annN,"queries":${annN / 200},"brute_sec":${r3(annBruteSec)},"ivf_sec":${r3(annIvfSec)},"recall_at_10":${r3(annRecall)}}"""
     val fastJson = fastBest.map(_.round.toString).getOrElse("null")
     val stressJson = stress.map { case (n, pts, e) =>
-      s""""$n":{"sec":${pts.map(p => r3(p._2)).mkString("[", ",", "]")},"exponent":${r3(e)}}"""
+      // exponent formatted directly: r3 clamps negatives to -1 (its error
+      // sentinel), but a NEGATIVE exponent is a legitimate measurement
+      // (fixed overhead shrinking relative to corpus size, e.g. decontam
+      // at -0.08) that must not be conflated with a failed phase
+      s""""$n":{"sec":${pts.map(p => r3(p._2)).mkString("[", ",", "]")},"exponent":${f"$e%.3f"}}"""
     }.mkString(s"""{"scales":${stressScales.mkString("[", ",", "]")},"ops":{""", ",", "}}")
     val stressHeadline =
       (if (stress.isEmpty) ""
