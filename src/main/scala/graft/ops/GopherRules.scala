@@ -40,7 +40,24 @@ object GopherRules {
   def flags(docs: DataFrame, textCol: String = "text",
       minWords: Int = 50, maxWords: Int = 100000,
       stopwords: Seq[String] = requiredStopwords): DataFrame = {
-    val t = col(textCol)
+    val fs = flagCols(col(textCol), minWords, maxWords, stopwords)
+    docs.select(col("doc_id") +:
+        fs.map { case (name, c) => c.as(name) }: _*)
+      .withColumn("keep", fs.tail.map(f => col(f._1)).reduce(_ && _))
+  }
+
+  /** The whole ruleset as a single composable boolean Column — the form
+    * the streaming quality gate applies inline.
+    */
+  def keepCol(t: Column, minWords: Int = 50, maxWords: Int = 100000,
+      stopwords: Seq[String] = requiredStopwords): Column =
+    flagCols(t, minWords, maxWords, stopwords).tail.map(_._2).reduce(_ && _)
+
+  /** (name, expr) per emitted column; head is `n_words`, the rest are the
+    * boolean rules whose conjunction is `keep`.
+    */
+  private def flagCols(t: Column, minWords: Int, maxWords: Int,
+      stopwords: Seq[String]): Seq[(String, Column)] = {
     val lower_t = lower(trim(t))
     val ws = split(lower_t, "\\s+")
     val nWords = size(ws).cast("long")
@@ -61,18 +78,14 @@ object GopherRules {
     // required stopword once
     val stopHits = size(array_intersect(
       array_distinct(ws), typedLit(stopwords)))
-    docs.select(col("doc_id"),
-      nWords.as("n_words"),
-      nWords.between(minWords, maxWords).as("ok_word_count"),
-      meanWordLen.between(3.0, 10.0).as("ok_mean_word_len"),
-      (symbols.cast("double") / nWordsSafe <= 0.1).as("ok_symbol_ratio"),
-      (bulletStarts.cast("double") / nLines <= 0.9).as("ok_bullet_lines"),
-      (ellipsisEnds.cast("double") / nLines <= 0.3).as("ok_ellipsis_lines"),
-      (alphaWords.cast("double") / nWordsSafe >= 0.8).as("ok_alpha_words"),
-      (stopHits >= 2).as("ok_stopwords"))
-      .withColumn("keep",
-        col("ok_word_count") && col("ok_mean_word_len") &&
-        col("ok_symbol_ratio") && col("ok_bullet_lines") &&
-        col("ok_ellipsis_lines") && col("ok_alpha_words") && col("ok_stopwords"))
+    Seq(
+      "n_words" -> nWords,
+      "ok_word_count" -> nWords.between(minWords, maxWords),
+      "ok_mean_word_len" -> meanWordLen.between(3.0, 10.0),
+      "ok_symbol_ratio" -> (symbols.cast("double") / nWordsSafe <= 0.1),
+      "ok_bullet_lines" -> (bulletStarts.cast("double") / nLines <= 0.9),
+      "ok_ellipsis_lines" -> (ellipsisEnds.cast("double") / nLines <= 0.3),
+      "ok_alpha_words" -> (alphaWords.cast("double") / nWordsSafe >= 0.8),
+      "ok_stopwords" -> (stopHits >= 2))
   }
 }

@@ -27,18 +27,27 @@ object QualityModel {
     * linear filter", not feature-engineering ambition.
     */
   def features(docs: DataFrame, textCol: String = "text",
-      labelCol: String = "lang", labelValue: String = "en"): DataFrame = {
-    val t = col(textCol)
-    val ws = split(lower(trim(t)), "\\s+")
+      labelCol: String = "lang", labelValue: String = "en"): DataFrame =
     docs.select(
-      col("doc_id"),
-      (col(labelCol) === labelValue).cast("double").as("y"),
-      lit(1.0).as("x0"),
-      (length(t) / 1000.0).as("x1"),
-      (size(ws) / 100.0).as("x2"),
-      (aggregate(transform(ws, w => length(w)), lit(0L), (a, x) => a + x)
-        .cast("double") / greatest(size(ws), lit(1)) / 10.0).as("x3"))
+      col("doc_id") +:
+        (col(labelCol) === labelValue).cast("double").as("y") +:
+        xCols(col(textCol)).zipWithIndex.map { case (x, j) => x.as(s"x$j") }: _*)
+
+  private def xCols(t: Column): Seq[Column] = {
+    val ws = split(lower(trim(t)), "\\s+")
+    Seq(
+      lit(1.0),
+      length(t) / 1000.0,
+      size(ws) / 100.0,
+      aggregate(transform(ws, w => length(w)), lit(0L), (a, x) => a + x)
+        .cast("double") / greatest(size(ws), lit(1)) / 10.0)
   }
+
+  /** The trained model's probability as a single composable Column — the
+    * form the streaming quality gate applies inline.
+    */
+  def pCol(text: Column, w: Seq[Double]): Column =
+    sigmoid(xCols(text).zip(w).map { case (x, wi) => x * wi }.reduce(_ + _))
 
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
 
