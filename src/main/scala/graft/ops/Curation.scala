@@ -98,12 +98,18 @@ object Curation {
     s1.unpersist() // caches under a long-lived session are real memory
     // pressure (a bench run's eviction cascade once recomputed through a
     // cleaner-reclaimed shuffle and aborted the job)
-    // 4. perplexity terciles trained on the survivors; drop the tail
-    val kept = PerplexityBuckets.buckets(spark, s3)
+    // 4. perplexity terciles trained on the survivors; drop the tail.
+    // The scored frame feeds both the threshold aggregate and the
+    // assignment — cached, the LM scoring pass (mapPartitions over the
+    // broadcast model, the stage's dominant cost) runs once, not twice
+    val scored = LangModel.lmScore(spark, s3)
+      .select("doc_id", "mean_logp").cache()
+    val kept = PerplexityBuckets.assign(scored)
       .filter(col("bucket") =!= "tail")
     val s4 = s3.join(kept, Seq("doc_id")).cache()
     s4.count()
-    s3.unpersist() // s4 (the only cache the result still reads) stays
+    s3.unpersist(); scored.unpersist() // s4 (the only cache the result
+    // still reads) stays
     // 5. per-domain quota over what's left
     Sampling.domainQuota(s4, cap = quota)
       .join(s4.select(col("doc_id"), col("bucket")), Seq("doc_id"))
