@@ -99,6 +99,86 @@ object SketchKernels {
     x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
     x ^ (x >>> 31)
   }
+
+  /** < 2^56: acc*31 + codepoint never overflows a Long. The single source
+    * of the polynomial-hash modulus (TextMetrics.FpMod aliases it).
+    */
+  final val FpMod = 72057594037927931L
+
+  private final val SpaceSep = UTF8String.fromString(" ")
+
+  /** word_ngrams: the " "-joined n-gram array of a word array, optionally
+    * distinct (first-occurrence order — array_distinct semantics). One
+    * static loop replacing the HOF chain `array_distinct(transform(
+    * arrays_zip(n shifted slices), concat_ws))` — n slice arrays, a zip
+    * struct per gram and an interpreted lambda dispatch per gram, per row.
+    * Gram VALUES are byte-identical (same words, same single-space join).
+    */
+  def wordNgrams(words: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val cnt = words.numElements() - (n - 1)
+    if (cnt <= 0) return new GenericArrayData(new Array[Any](0))
+    val out = new java.util.ArrayList[AnyRef](cnt)
+    val seen = if (distinct) new java.util.HashSet[UTF8String](cnt * 2) else null
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < cnt) {
+      var j = 0
+      while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      val gram = UTF8String.concatWs(SpaceSep, parts: _*)
+      if (seen == null || seen.add(gram)) out.add(gram)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** char_fp: polynomial rolling hash over the CODE POINTS of a string —
+    * acc = (acc*31 + cp) mod FpMod. Identical to the HOF fold
+    * `aggregate(transform(split(s, ''), ascii), 0, pmod(acc*31 + c))`:
+    * Spark's `split(s, '')` yields one element per code point and `ascii`
+    * is the first code point (0 for the empty string, which contributes
+    * acc*31 + 0 — reproduced here by the empty loop over an empty
+    * string since acc starts at 0). All operands are non-negative, so
+    * `%` equals `pmod`.
+    */
+  def charFp(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % FpMod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** span_window_hashes: per-word [[charFp]] fingerprints, then the
+    * length-`w` window polynomial hashes acc = (acc*31 + wfp) mod FpMod —
+    * the SpanDedup kernel as ONE static pass (word fps computed once,
+    * each window a tight inner fold) instead of a transform + arrays_zip
+    * of w shifted slices + an interpreted fold lambda per window. Empty
+    * result below w words (the HOF guards `sequence(1, 0)` explicitly;
+    * here the loop simply doesn't run).
+    */
+  def spanWindowHashes(words: ArrayData, w: Int): ArrayData = {
+    val n = words.numElements()
+    val cnt = n - (w - 1)
+    if (cnt <= 0) return new GenericArrayData(new Array[Long](0))
+    val wfps = new Array[Long](n)
+    var i = 0
+    while (i < n) { wfps(i) = charFp(words.getUTF8String(i)); i += 1 }
+    val out = new Array[Long](cnt)
+    i = 0
+    while (i < cnt) {
+      var acc = 0L
+      var j = 0
+      while (j < w) { acc = (acc * 31 + wfps(i + j)) % FpMod; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
@@ -141,6 +221,39 @@ case class SplitMix64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "splitmix64"
 }
 
+case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.wordNgrams(v.asInstanceOf[ArrayData], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.wordNgrams($c, $n, $distinct)")
+  override protected def withNewChildInternal(c: Expression): WordNgrams = copy(child = c)
+  override def prettyName: String = "word_ngrams"
+}
+
+case class CharFp(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.charFp(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.charFp($c)")
+  override protected def withNewChildInternal(c: Expression): CharFp = copy(child = c)
+  override def prettyName: String = "char_fp"
+}
+
+case class SpanWindowHashes(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.spanWindowHashes(v.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.spanWindowHashes($c, $w)")
+  override protected def withNewChildInternal(c: Expression): SpanWindowHashes = copy(child = c)
+  override def prettyName: String = "span_window_hashes"
+}
+
 object SketchExpr {
   import org.apache.spark.sql.GraftColumnBridge
   def minhash_sig(c: Column, numHashes: Int): Column =
@@ -151,4 +264,10 @@ object SketchExpr {
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c)))
   def hyperplane_code(c: Column, planes: Int): Column =
     GraftColumnBridge.column(HyperplaneCode(GraftColumnBridge.expression(c), planes))
+  def word_ngrams(c: Column, n: Int, distinct: Boolean): Column =
+    GraftColumnBridge.column(WordNgrams(GraftColumnBridge.expression(c), n, distinct))
+  def char_fp(c: Column): Column =
+    GraftColumnBridge.column(CharFp(GraftColumnBridge.expression(c)))
+  def span_window_hashes(c: Column, w: Int): Column =
+    GraftColumnBridge.column(SpanWindowHashes(GraftColumnBridge.expression(c), w))
 }

@@ -48,24 +48,53 @@ object Bpe {
       textCol: String = "text"): Seq[(String, String)] =
     trainFromCounts(wordHistogram(docs, maxWords, textCol), numMerges)
 
-  /** Driver-side merge fitting over a word histogram (bounded input). */
+  /** Driver-side merge fitting over a word histogram (bounded input).
+    *
+    * Pair counts are maintained INCREMENTALLY (the standard production BPE
+    * trainer shape): a pair → word-index occurrence map means each merge
+    * re-indexes only the words that actually contain the merged pair,
+    * instead of recounting every adjacent pair of every word per
+    * iteration (numMerges full histogram scans — the whole driver-side
+    * cost of `bpe_token_counts`). The maintained multiset of counts is
+    * identical to a from-scratch recount at every step, and the argmax
+    * uses the same (count, pair) total order, so the emitted merge
+    * SEQUENCE is unchanged (parity-pinned in BpeSpec).
+    */
   def trainFromCounts(wordCounts: Seq[(String, Long)],
       numMerges: Int): Seq[(String, String)] = {
-    var words: Array[(Array[String], Long)] = wordCounts.map { case (w, n) =>
-      ((w.map(_.toString) :+ EndOfWord).toArray, n)
-    }.toArray
+    val words: mutable.ArrayBuffer[(Array[String], Long)] =
+      wordCounts.map { case (w, n) =>
+        ((w.map(_.toString) :+ EndOfWord).toArray, n)
+      }.to(mutable.ArrayBuffer)
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def index(wi: Int, sign: Long): Unit = {
+      val (syms, n) = words(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val c = pairCounts.getOrElse(p, 0L) + sign * n
+        if (c == 0L) pairCounts.remove(p) else pairCounts.update(p, c)
+        if (sign > 0) occ.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+        else occ.get(p).foreach { s => s -= wi; if (s.isEmpty) occ.remove(p) }
+        i += 1
+      }
+    }
+    words.indices.foreach(index(_, 1L))
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var it = 0
     var exhausted = false
     while (it < numMerges && !exhausted) {
-      val pairCounts = mutable.HashMap.empty[(String, String), Long]
-      for ((syms, n) <- words; i <- 0 until syms.length - 1)
-        pairCounts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + n))
       if (pairCounts.isEmpty) exhausted = true
       else {
         val best = pairCounts.maxBy { case (p, c) => (c, p) }._1
         merges += best
-        words = words.map { case (syms, n) => (mergeOnce(syms, best), n) }
+        val affected = occ.getOrElse(best, mutable.HashSet.empty).toArray
+        affected.foreach { wi =>
+          index(wi, -1L)
+          words(wi) = (mergeOnce(words(wi)._1, best), words(wi)._2)
+          index(wi, 1L)
+        }
       }
       it += 1
     }

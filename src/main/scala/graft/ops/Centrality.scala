@@ -29,20 +29,23 @@ object Centrality {
 
   def pageRank(docs: DataFrame, iters: Int = 3, d: Double = 0.85,
       jaccard: Double = 0.3): DataFrame = {
+    // Materialization boundaries are eager localCheckpoints, not cache():
+    // the dangling aggregate is an action and the contribution join reads
+    // pr again, so without a boundary every iteration would re-execute all
+    // previous ones (the curate2 lesson) — but a .cache() on the RETURNED
+    // frame is a CacheManager entry the caller can never release (the
+    // round-5 advisor flagged it as a per-invocation leak); checkpoint
+    // blocks are freed by GC once the frame is dropped.
     val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = jaccard)
       .select("doc_a", "doc_b")
+      .localCheckpoint()
     val edges = pairs.union(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .cache()
-    val nodes = docs.select("doc_id").cache()
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val nodes = docs.select("doc_id").localCheckpoint()
     val n = nodes.count()
     val deg = edges.groupBy(col("doc_a").as("src"))
-      .agg(count(lit(1)).as("deg")).cache()
-    // each iteration's rank frame is materialized (cache + count) before
-    // the next: the dangling aggregate is an action and the contribution
-    // join reads pr again — without the boundary every iteration would
-    // re-execute all previous ones (the curate2 lesson)
-    var pr = nodes.select(col("doc_id"), lit(1.0 / n).as("pr")).cache()
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    var pr = nodes.select(col("doc_id"), lit(1.0 / n).as("pr")).localCheckpoint()
     for (_ <- 1 to iters) {
       val withDeg = pr.join(deg, pr("doc_id") === deg("src"), "left")
       val dangling = withDeg.filter(col("deg").isNull)
@@ -52,19 +55,13 @@ object Centrality {
           .select(col("src"), (col("pr") / col("deg")).as("share")),
           edges("doc_a") === col("src"))
         .groupBy(col("doc_b").as("dst")).agg(sum("share").as("c"))
-      val next = nodes.join(contrib, nodes("doc_id") === contrib("dst"), "left")
+      pr = nodes.join(contrib, nodes("doc_id") === contrib("dst"), "left")
         .select(col("doc_id"),
           (lit((1.0 - d) / n) +
             lit(d) * (coalesce(col("c"), lit(0.0)) + lit(dangling / n)))
             .as("pr"))
-        .cache()
-      next.count()
-      pr.unpersist()
-      pr = next
+        .localCheckpoint()
     }
-    // final ranks are materialized; release the working snapshots (if the
-    // final frame's blocks are later evicted it recomputes from source)
-    edges.unpersist(); nodes.unpersist(); deg.unpersist()
     pr
   }
 }

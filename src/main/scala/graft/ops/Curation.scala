@@ -30,10 +30,18 @@ object Curation {
     */
   def curate(docs: DataFrame, jaccard: Double = 0.5,
       lang: String = "en"): DataFrame = {
-    // 1. exact dedup — keep the smallest doc_id of each duplicate group
+    // 1. exact dedup — keep the smallest doc_id of each duplicate group.
+    // The survivor frame feeds the pair generator AND the anti-join (and
+    // everything downstream re-derives from it): cache() it — a COLUMNAR
+    // snapshot, so each pruned consumer (langId/tokenCounts read doc_id +
+    // text only) scans just its columns (guide §5; a localCheckpoint here
+    // measured slower — RDD blocks cannot column-prune) — and release it
+    // after the result is materialized, so no CacheManager entry outlives
+    // the call.
     val s1 = Dedup.exact(docs)
       .filter(col("keep")).select("doc_id")
       .join(docs, Seq("doc_id"))
+      .cache()
     // 2. near-dup removal over the exact-dedup survivors
     val nearDupIds = Dedup.ngramJaccardPairs(s1, n = 3, threshold = jaccard)
       .select(col("doc_b").as("doc_id")).distinct()
@@ -43,9 +51,12 @@ object Curation {
       .filter(col("lang_pred") === lang).select("doc_id")
     val s3 = s2.join(langIds, Seq("doc_id"))
     // 4. split assignment + token accounting
-    TextMetrics.tokenCounts(s3)
+    val out = TextMetrics.tokenCounts(s3)
       .join(Sampling.hashSplit(s3).select("doc_id", "split"), Seq("doc_id"))
       .select("doc_id", "split", "ws_tokens", "bpe_ish_tokens")
+      .localCheckpoint()
+    s1.unpersist()
+    out
   }
 
   /** The round-5 composition over the data-selection generation of
@@ -72,14 +83,19 @@ object Curation {
   def curate2(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
       spanW: Int = 10, spanDupFrac: Double = 0.5,
       quota: Int = 5): DataFrame = {
-    // Persist boundaries at the survivor frames are load-bearing, not an
-    // optimization nicety: each gate's frame feeds MULTIPLE downstream
-    // actions (the gate's own profile branch, the join back, and — worst
-    // — the LM training's several aggregation scans over s3). Without
+    // Materialization boundaries at the survivor frames are load-bearing,
+    // not an optimization nicety: each gate's frame feeds MULTIPLE
+    // downstream actions (the gate's own profile branch, the join back,
+    // and — worst — the LM training's aggregation scans over s3). Without
     // them Catalyst re-executes the whole upstream chain, span shuffle
-    // included, once per scan: measured 54 s vs ~7 s at sf0.1. At
-    // production scale these are MEMORY_AND_DISK survivor snapshots —
-    // exactly the stage materialization a multi-gate curation DAG needs.
+    // included, once per scan: measured 54 s vs ~7 s at sf0.1. Realized as
+    // eager localCheckpoint (block-manager MEMORY_AND_DISK snapshots,
+    // lineage cut) rather than cache(): a .cache() is a CacheManager entry
+    // that outlives the call — the round-5 advisor flagged the final s4
+    // cache as a per-invocation leak under a long-lived session — while
+    // checkpoint blocks are released by GC as soon as the result frame
+    // drops its reference. At production scale these are exactly the stage
+    // snapshots a multi-gate curation DAG needs.
     // 1. exact dedup — keep the smallest doc_id of each duplicate group
     val s1 = Dedup.exact(docs)
       .filter(col("keep")).select("doc_id")
@@ -94,10 +110,8 @@ object Curation {
     val gOk = GopherRules.flags(s2, stopwords = enStops)
       .filter(col("keep")).select("doc_id")
     val s3 = s2.join(gOk, Seq("doc_id")).cache()
-    s3.count() // materialized -> the s1 snapshot can be released; leaked
-    s1.unpersist() // caches under a long-lived session are real memory
-    // pressure (a bench run's eviction cascade once recomputed through a
-    // cleaner-reclaimed shuffle and aborted the job)
+    s3.count() // materialized -> the s1 snapshot can be released
+    s1.unpersist()
     // 4. perplexity terciles trained on the survivors; drop the tail.
     // The scored frame feeds both the threshold aggregate and the
     // assignment — cached, the LM scoring pass (mapPartitions over the
@@ -108,12 +122,18 @@ object Curation {
       .filter(col("bucket") =!= "tail")
     val s4 = s3.join(kept, Seq("doc_id")).cache()
     s4.count()
-    s3.unpersist(); scored.unpersist() // s4 (the only cache the result
-    // still reads) stays
-    // 5. per-domain quota over what's left
-    Sampling.domainQuota(s4, cap = quota)
+    s3.unpersist(); scored.unpersist()
+    // 5. per-domain quota over what's left. The result is materialized
+    // (localCheckpoint) so the LAST cache can be released before
+    // returning — the round-5 advisor flagged the leaked s4 entry: under
+    // a long-lived session every invocation left one cached frame behind
+    // (eviction pressure across a 75-query bench run).
+    val out = Sampling.domainQuota(s4, cap = quota)
       .join(s4.select(col("doc_id"), col("bucket")), Seq("doc_id"))
       .select("doc_id", "domain", "bucket", "rk")
+      .localCheckpoint()
+    s4.unpersist()
+    out
   }
 
   /** The MinHash-LSH variant of [[curate]] — the batch counterpart of

@@ -14,18 +14,25 @@ object Dedup {
 
   private def words(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Word n-gram shingles, distinct.
-    *
-    * PERFORMANCE-CRITICAL SHAPE: every reference to the words array sits in
-    * an ARGUMENT position of a higher-order function, never inside a lambda
-    * body. Catalyst does not CSE expressions referenced from lambda bodies —
-    * `element_at(ws, i+j)` inside `transform` would re-run the whole
-    * `split()` once per shingle per gram (the collapsed projection inlines
-    * it), turning a linear scan quadratic. `arrays_zip` of n shifted slices
-    * evaluates `ws` a constant number of times per row instead; the lambda
-    * touches only its bound variable.
+  /** Word n-gram shingles, distinct — native codegen kernel
+    * (graft.functions.WordNgrams): one static loop per row, byte-identical
+    * to [[shinglesHof]] (parity-tested in SketchExprSpec). The HOF chain it
+    * replaces (arrays_zip of n shifted slices + an interpreted concat_ws
+    * lambda per gram + array_distinct) is CodegenFallback and allocates n
+    * slice arrays plus a zip struct per gram per row — measured as the
+    * dominant per-task cost of every shingle-based operator.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.SketchExpr.word_ngrams(words(text), n, distinct = true)
+
+  /** HOF reference formulation of [[shingles]] — kept for the kernel-parity
+    * spec. CSE-safe shape: every reference to the words array sits in an
+    * ARGUMENT position of a higher-order function, never inside a lambda
+    * body (Catalyst does not CSE expressions referenced from lambda bodies —
+    * `element_at(ws, i+j)` inside `transform` would re-run the whole
+    * `split()` once per shingle per gram).
+    */
+  def shinglesHof(text: Column, n: Int = 3): Column = {
     val ws = words(text)
     val cnt = size(ws) - (n - 1)
     array_distinct(
@@ -80,10 +87,16 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       maxDf: Int = 1000, textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(col(textCol), n)).as("sh"))
-    val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("sh")
-    val pruned = sh.join(keep, Seq("sh"), "left_semi")
+    // The pruned inverted index feeds THREE consumers (the per-doc sizes
+    // aggregate and both sides of the candidate self-join); without a
+    // materialization each consumer re-runs the shingle explode + df-prune
+    // chain from the raw text. localCheckpoint materializes it ONCE
+    // (block-manager MEMORY_AND_DISK, lineage cut, blocks freed on GC —
+    // never a leaked CacheManager entry), so the explode is paid once per
+    // call, not once per consumer. Guide §5 (persist exactly the reused
+    // frame) + §2.3 (the materialized rows are (doc_id, shingle) only —
+    // text never reaches a shuffle).
+    val pruned = prunedIndex(docs, n, maxDf, textCol).localCheckpoint()
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = pruned.as("a").join(pruned.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -96,6 +109,19 @@ object Dedup {
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "shared", "na", "nb", "jaccard")
+  }
+
+  /** The df-pruned inverted index (doc_id, shingle) — the frame
+    * [[ngramJaccardPairs]] materializes. Package-private so PlanAuditSpec
+    * pins its shape (hash-agg df prune + left_semi, no Window) on the
+    * ACTUAL pre-materialization plan.
+    */
+  private[graft] def prunedIndex(docs: DataFrame, n: Int, maxDf: Int,
+      textCol: String): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles(col(textCol), n)).as("sh"))
+    val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sh")
+    sh.join(keep, Seq("sh"), "left_semi")
   }
 
   // ------------------------------------------------------------ MinHash+LSH
@@ -135,12 +161,15 @@ object Dedup {
       maxBucket: Int = 500): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = minhashSignatures(docs, numHashes, n, textCol)
-    // Candidates carry ONLY ids: never drag the signature expression
-    // through the self-join (projection collapse would recompute the
-    // whole shingle+hash pipeline PER CANDIDATE PAIR). The repartition is
-    // a materialization barrier: signatures are computed once per doc and
-    // shuffled as data.
+    // Signatures feed THREE consumers (banding + both re-attach sides);
+    // localCheckpoint computes the shingle+MinHash pipeline once per doc
+    // and serves the rest from materialized (doc_id, sig) blocks — the
+    // former repartition barriers only stopped projection collapse, they
+    // still recomputed the signatures once per consumer (guide §5).
+    val sigs = minhashSignatures(docs, numHashes, n, textCol).localCheckpoint()
+    // Candidates carry ONLY ids: never drag the signature through the
+    // self-join. The repartition keys the band join and lets both self-join
+    // sides reuse ONE exchange.
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bucket")))
@@ -158,10 +187,9 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // sigs is materialized data: the re-attach joins need no barrier
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-      .repartition(col("doc_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-      .repartition(col("doc_b"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
@@ -179,8 +207,11 @@ object Dedup {
     */
   def withTrueJaccard(pairs: DataFrame, docs: DataFrame, n: Int = 3,
       textCol: String = "text"): DataFrame = {
+    // shingle sets are joined twice (doc_a and doc_b sides): materialize
+    // once, attach twice (guide §5 — the repartition barrier it replaces
+    // still re-ran the shingle projection per side)
     val sets = docs.select(col("doc_id"), shingles(col(textCol), n).as("s"))
-      .repartition(col("doc_id"))
+      .localCheckpoint()
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
@@ -227,6 +258,11 @@ object Dedup {
     // Same pattern as minhashLshPairs: ids-only candidate join behind a
     // materialization barrier, fingerprints re-attached by key, low-entropy
     // mega-buckets capped (they dominate cost and carry no near-dup signal).
+    // Unlike the MinHash signatures this stays a repartition barrier, NOT a
+    // localCheckpoint: the 64-bit fingerprint is one cheap codegen
+    // expression, and measurement showed the eager materialization costs
+    // more than the recompute it saves (guide §1: re-measure, keep the
+    // faster shape).
     val sh = simhash(docs, textCol).repartition(col("doc_id"))
     val blocks = sh.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(3)),

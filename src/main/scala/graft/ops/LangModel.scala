@@ -55,12 +55,18 @@ object LangModel {
   def train(spark: SparkSession, docs: DataFrame, textCol: String = "text",
       langCol: String = "lang", maxVocab: Int = 200000): NbModel = {
     import spark.implicits._
+    // The aggregated (lang, trigram, c) frame feeds TWO consumers (the
+    // vocab-cap TakeOrdered and the pruning semi-join + collect); without
+    // a materialization each re-runs the per-trigram flatMap over the
+    // whole corpus. localCheckpoint runs that pass ONCE — the frame is
+    // langs x vocab rows, tiny relative to the trigram stream (guide §5).
     val all = docs
       .select(col(langCol), lower(col(textCol)))
       .as[(String, String)]
       .flatMap { case (lang, lt) => trigramsOf(lt).map(g => (lang, g)) }
       .groupBy(col("_1").as("lang"), col("_2").as("g"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val kept = all
       .groupBy("g").agg(sum("c").as("tc"))
       .orderBy(desc("tc"), asc("g")) // deterministic under ties
@@ -90,22 +96,42 @@ object LangModel {
   def classify(spark: SparkSession, docs: DataFrame, model: NbModel,
       textCol: String = "text", langCol: String = "lang"): DataFrame = {
     import spark.implicits._
-    val bm = spark.sparkContext.broadcast(model)
+    // Hot-path layout: one HashMap lookup per trigram returning the
+    // per-lang logp ARRAY (absent (lang, g) cells pre-filled with that
+    // lang's unseen mass — exactly the former per-(l,g) getOrElse), then
+    // a branch-free array add. Accumulation order per lang is unchanged
+    // (outer loop trigrams, inner loop langs), so every double is
+    // bit-identical to the tuple-keyed formulation; this removes the
+    // per-trigram-per-lang tuple allocation + hash (guide §1.2 step 2:
+    // per-task work, after the shape is right).
+    val langsArr = model.langs.toArray
+    val unseenArr = langsArr.map(model.unseen)
+    val byGram = new java.util.HashMap[String, Array[Double]]()
+    model.logp.foreach { case ((l, g), p) =>
+      val arr = byGram.computeIfAbsent(g, _ => unseenArr.clone())
+      arr(langsArr.indexOf(l)) = p
+    }
+    val bm = spark.sparkContext.broadcast((langsArr, unseenArr, byGram))
     docs.select(col("doc_id"), col(langCol), lower(col(textCol)))
       .as[(Long, String, String)]
       .mapPartitions { it =>
-        val m = bm.value
+        val (langs, unseen, grams) = bm.value
         it.map { case (id, lang, lt) =>
-          val scores = mutable.LinkedHashMap(m.langs.map(l => l -> 0.0): _*)
+          val scores = new Array[Double](langs.length)
           trigramsOf(lt).foreach { g =>
-            m.langs.foreach { l =>
-              scores(l) += m.logp.getOrElse((l, g), m.unseen(l))
-            }
+            val arr = grams.getOrDefault(g, unseen)
+            var i = 0
+            while (i < scores.length) { scores(i) += arr(i); i += 1 }
           }
           // argmax: score desc, lang asc on ties (langs iterate sorted and
           // only a strictly greater score displaces the incumbent)
-          val pred = scores.toSeq.reduceLeft((a, b) => if (b._2 > a._2) b else a)
-          (id, lang, pred._1)
+          var best = 0
+          var i = 1
+          while (i < scores.length) {
+            if (scores(i) > scores(best)) best = i
+            i += 1
+          }
+          (id, lang, langs(best))
         }
       }
       .toDF("doc_id", "lang", "lang_pred")
@@ -133,19 +159,30 @@ object LangModel {
       scoreLang: String = "en", textCol: String = "text"): DataFrame = {
     import spark.implicits._
     require(model.unseen.contains(scoreLang), s"no model for '$scoreLang'")
-    val bm = spark.sparkContext.broadcast(model)
+    // Broadcast only the scoring language's gram → logp map (tuple-free
+    // lookups); the per-doc sum still runs over DISTINCT trigrams in
+    // lexicographic order — HashMap counting + one sort of the distinct
+    // grams replaces the per-occurrence TreeMap insert, with an identical
+    // summation order, so every emitted double is unchanged.
+    val gramLogp = new java.util.HashMap[String, java.lang.Double]()
+    model.logp.foreach { case ((l, g), p) => if (l == scoreLang) gramLogp.put(g, p) }
+    val unseenV = model.unseen(scoreLang)
+    val bm = spark.sparkContext.broadcast((gramLogp, unseenV))
     docs.select(col("doc_id"), lower(col(textCol))).as[(Long, String)]
       .mapPartitions { it =>
-        val m = bm.value
+        val (grams, unseen) = bm.value
         it.map { case (id, lt) =>
           var n = 0L
-          val counts = mutable.TreeMap.empty[String, Long]
+          val counts = mutable.HashMap.empty[String, Long]
           trigramsOf(lt).foreach { g =>
             n += 1; counts.update(g, counts.getOrElse(g, 0L) + 1L)
           }
+          val ks = counts.keysIterator.toArray
+          java.util.Arrays.sort(ks, Ordering[String])
           var s = 0.0
-          counts.foreach { case (g, c) =>
-            s += c * m.logp.getOrElse((scoreLang, g), m.unseen(scoreLang))
+          ks.foreach { g =>
+            val p = grams.get(g)
+            s += counts(g) * (if (p == null) unseen else p.doubleValue())
           }
           (id, n, if (n == 0) 0.0 else s / n)
         }

@@ -220,6 +220,10 @@ object Similarity {
         / norm(col("v"))).as("q"))
       .agg(avg("q").as("build_quality"), count(lit(1)).as("n"))
       .head()
+    // an empty corpus yields a null avg — fail with a descriptive error
+    // instead of an opaque NPE (round-5 advisor finding)
+    require(!st.isNullAt(0),
+      s"buildIvfIndex: empty corpus at $dir — no quality baseline to record")
     Seq((st.getDouble(0), st.getLong(1))).toDF("build_quality", "n")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.parquet")
   }
@@ -345,10 +349,12 @@ object Similarity {
       dir: String): Double = {
     val p = resolveIndex(dir) // once — centroids + rows from one snapshot
     val cn = loadCentroids(spark, p)
-    spark.read.parquet(s"$p/assigned.parquet")
+    val row = spark.read.parquet(s"$p/assigned.parquet")
       .select((dot(col("v"), element_at(typedlit(cn), col("list_id") + 1))
         / norm(col("v"))).as("q"))
-      .agg(avg("q")).head().getDouble(0)
+      .agg(avg("q")).head()
+    require(!row.isNullAt(0), s"ivfIndexQuality: index at $dir holds no rows")
+    row.getDouble(0)
   }
 
   /** Staleness / re-train trigger: the quality baseline was recorded at
@@ -603,13 +609,14 @@ object Similarity {
   def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16,
       iters: Int = 3): Seq[Seq[Seq[Double]]] = {
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val dim = base.select(size(col("v"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val sub = dim / m
     val seeds = base.withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(k).select("v").collect()
       .map(_.getSeq[Double](0))
     require(seeds.length == k, s"corpus smaller than k=$k")
+    // dim from the seed rows already on the driver — no separate size() scan
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
     val init: Seq[Seq[Seq[Double]]] =
       (0 until m).map(j => seeds.toSeq.map(_.slice(j * sub, (j + 1) * sub)))
     (1 to iters).foldLeft(init) { (cb, _) =>

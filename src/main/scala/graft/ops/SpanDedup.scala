@@ -31,17 +31,26 @@ object SpanDedup {
   private def words(text: Column): Column =
     split(lower(trim(text)), "\\s+")
 
-  /** Array of window hashes for one document's word array. Short docs
-    * (< w words) get an empty array — guarded explicitly because Spark's
-    * `sequence(1, 0)` counts DOWN to [1, 0], it is not empty. CSE-safe
-    * like `Dedup.shingles`: the word-hash array appears only in
-    * `arrays_zip` ARGUMENT positions (w shifted slices); the lambda folds
-    * over its bound struct, never re-touching the array — a captured
-    * `slice(wfps, i, w)` in the lambda body would re-hash every word once
-    * per window and turn the scan quadratic.
+  /** Array of window hashes for one document's word array — native
+    * codegen kernel (graft.functions.SpanWindowHashes): per-word charFp
+    * fingerprints computed once, then a tight inner fold per window;
+    * bit-identical to [[windowHashesHof]] (parity-tested). Short docs
+    * (< w words) get an empty array.
     */
-  def windowHashes(text: Column, w: Int): Column = {
-    val wfps = transform(words(text), w => TextMetrics.charFp(w))
+  def windowHashes(text: Column, w: Int): Column =
+    graft.functions.SketchExpr.span_window_hashes(words(text), w)
+
+  /** HOF reference formulation of [[windowHashes]] — kept for the
+    * kernel-parity spec. Guards `sequence(1, 0)` explicitly (it counts
+    * DOWN, it is not empty); CSE-safe like `Dedup.shinglesHof`: the
+    * word-hash array appears only in `arrays_zip` ARGUMENT positions (w
+    * shifted slices); the lambda folds over its bound struct, never
+    * re-touching the array — a captured `slice(wfps, i, w)` in the lambda
+    * body would re-hash every word once per window and turn the scan
+    * quadratic.
+    */
+  private[graft] def windowHashesHof(text: Column, w: Int): Column = {
+    val wfps = transform(words(text), w => TextMetrics.charFpHof(w))
     val cnt = size(wfps) - (w - 1)
     when(size(wfps) < w, array().cast("array<bigint>"))
       .otherwise(transform(

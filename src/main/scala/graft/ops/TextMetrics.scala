@@ -96,14 +96,22 @@ object TextMetrics {
     withHits.withColumn("lang_pred", best._1)
   }
 
-  val FpMod = 72057594037927931L // < 2^56: acc*31 + 255 never overflows Long
+  val FpMod = graft.functions.SketchKernels.FpMod // < 2^56: acc*31 + 255 never overflows Long
 
   /** Per-string polynomial rolling hash — the same acc*31+ascii arithmetic
     * as [[fingerprint]] exposed as a composable Column, so Dsir's feature
     * buckets and SpanDedup's window hashes are engine-reproducible
-    * (DuckDB `list_reduce` computes the identical value).
+    * (DuckDB `list_reduce` computes the identical value). Native codegen
+    * kernel (graft.functions.CharFp), bit-identical to [[charFpHof]]
+    * (parity-tested).
     */
-  def charFp(s: Column): Column =
+  def charFp(s: Column): Column = graft.functions.SketchExpr.char_fp(s)
+
+  /** HOF reference formulation of [[charFp]] — kept for the kernel-parity
+    * spec (one interpreted lambda dispatch + a split() element per
+    * character).
+    */
+  def charFpHof(s: Column): Column =
     aggregate(
       transform(split(s, ""), c => ascii(c).cast("long")),
       lit(0L),
@@ -111,23 +119,22 @@ object TextMetrics {
 
   /** Polynomial rolling-hash fingerprint over the character stream of the
     * whitespace-normalized text: acc = (acc*31 + ascii(c)) mod FpMod.
-    * Order-sensitive (a true rolling hash), pure Catalyst `aggregate` HOF.
+    * Order-sensitive (a true rolling hash); the native [[charFp]] kernel.
     */
   def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    docs.select(col("doc_id"),
-      aggregate(
-        transform(split(norm, ""), c => ascii(c).cast("long")),
-        lit(0L),
-        (acc, c) => pmod(acc * 31 + c, lit(FpMod))).as("fingerprint"))
+    docs.select(col("doc_id"), charFp(norm).as("fingerprint"))
   }
 
   /** Word n-grams WITH duplicates (unlike `Dedup.shingles`, which is a
     * set) — repetition detection is precisely about the duplicates. Same
-    * CSE-safe shape: the words array appears only in HOF argument
-    * positions, never inside a lambda body.
+    * native kernel as the shingles, with distinct off; parity vs the HOF
+    * reference in [[ngramsHof]].
     */
-  private def ngrams(text: Column, n: Int): Column = {
+  private def ngrams(text: Column, n: Int): Column =
+    graft.functions.SketchExpr.word_ngrams(words(text), n, distinct = false)
+
+  private[graft] def ngramsHof(text: Column, n: Int): Column = {
     val ws = words(text)
     val cnt = size(ws) - (n - 1)
     when(size(ws) < n, array().cast("array<string>"))

@@ -83,6 +83,11 @@ object DedupState {
             if (maxTs != Long.MinValue)
               state.setTimeoutTimestamp(
                 math.max(maxTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            else
+              // all-null-ts batch: still set a closure deadline (state
+              // would otherwise be retained forever — advisor finding)
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + math.max(gapMs, 1L))
             out.iterator
           }
       }

@@ -70,6 +70,12 @@ object StreamCep {
             if (maxTs != Long.MinValue)
               state.setTimeoutTimestamp(
                 math.max(maxTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            else
+              // a batch whose rows ALL carry null event-time must still
+              // set a closure deadline, or the group's state is retained
+              // forever (round-5 advisor finding)
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + math.max(gapMs, 1L))
             Iterator.empty
           }
       }

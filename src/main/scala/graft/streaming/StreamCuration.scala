@@ -161,6 +161,12 @@ object StreamCuration {
             if (maxTs != Long.MinValue)
               state.setTimeoutTimestamp(
                 math.max(maxTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            else
+              // all-null-ts batch: still set a closure deadline so the
+              // bucket's state cannot be retained forever (round-5
+              // advisor finding)
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + math.max(gapMs, 1L))
             out.result().iterator
           }
       }

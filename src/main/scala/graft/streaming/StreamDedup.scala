@@ -126,7 +126,11 @@ object StreamDedup {
               val closeAt = math.max(maxTs + gapMs,
                 state.getCurrentWatermarkMs() + 1)
               state.setTimeoutTimestamp(closeAt)
-            }
+            } else
+              // all-null-ts batch: still set a closure deadline (state
+              // would otherwise be retained forever — advisor finding)
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + math.max(gapMs, 1L))
             out.result().iterator
           }
       }
@@ -225,6 +229,9 @@ object StreamDedup {
             if (maxTs != Long.MinValue)
               state.setTimeoutTimestamp(
                 math.max(maxTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            else
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + math.max(gapMs, 1L))
             out.result().iterator
           }
       }

@@ -107,6 +107,55 @@ class KernelPropertySpec extends AnyFunSuite {
 
   // --------------------------------------------------------------------- BPE
 
+  test("incremental BPE trainer emits the SAME merge sequence as a naive recount") {
+    // reference: recount every adjacent pair of every word per iteration
+    // (the pre-optimization formulation, verbatim)
+    def naive(wordCounts: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+      def mergeOnce(syms: Array[String], m: (String, String)): Array[String] = {
+        val out = ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == m._1 && syms(i + 1) == m._2) {
+            out += syms(i) + syms(i + 1); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toArray
+      }
+      var words: Array[(Array[String], Long)] = wordCounts.map { case (w, n) =>
+        ((w.map(_.toString) :+ Bpe.EndOfWord).toArray, n)
+      }.toArray
+      val merges = ArrayBuffer.empty[(String, String)]
+      var it = 0
+      var exhausted = false
+      while (it < numMerges && !exhausted) {
+        val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        for ((syms, n) <- words; i <- 0 until syms.length - 1)
+          pairCounts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + n))
+        if (pairCounts.isEmpty) exhausted = true
+        else {
+          val best = pairCounts.maxBy { case (p, c) => (c, p) }._1
+          merges += best
+          words = words.map { case (syms, n) => (mergeOnce(syms, best), n) }
+        }
+        it += 1
+      }
+      merges.toSeq
+    }
+    for (case_ <- 0 until 80) {
+      val r = rnd(7000 + case_)
+      val alphabet = "abcd"
+      def word() = {
+        val len = 1 + (r.next() & 0x7).toInt
+        (0 until len).map(_ => alphabet((r.next() & 0x7fffffff).toInt % 4)).mkString
+      }
+      val counts = (0 until (2 + (r.next() & 0xf).toInt))
+        .map(_ => word() -> (1L + (r.next() & 0xf)))
+        .groupBy(_._1).map { case (w, ws) => w -> ws.map(_._2).sum }.toSeq.sortBy(_._1)
+      val m = 1 + (r.next() & 0x1f).toInt
+      assert(Bpe.trainFromCounts(counts, m) == naive(counts, m), s"case $case_")
+    }
+  }
+
   test("BPE laws on random corpora: roundtrip, replay, monotone under merge prefix") {
     for (case_ <- 0 until 60) {
       val r = rnd(4000 + case_)

@@ -106,6 +106,14 @@ class PlanAuditSpec extends SparkSpec {
 
   test("ngram jaccard df prune is a hash aggregate, not a window sort") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the inverted index is materialized (localCheckpoint) before the pair
+    // join, so pin its shape on the pre-materialization frame: hash-agg df
+    // prune + left_semi, no Window
+    val idx = plan(graft.ops.Dedup.prunedIndex(docs, n = 3, maxDf = 1000,
+      textCol = "text"))
+    assert(!idx.contains("Window"), idx.take(2000))
+    assert(idx.contains("LeftSemi"), idx.take(2000))
+    assert(idx.contains("HashAggregate"), idx.take(2000))
     val s = plan(graft.ops.Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.05))
     assert(!s.contains("Window"), s.take(2000))
   }

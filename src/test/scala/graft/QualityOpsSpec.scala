@@ -104,6 +104,42 @@ class QualityOpsSpec extends SparkSpec {
     assert(out.filter(col("rk") > col("n_take")).isEmpty)
   }
 
+  test("stratified sample: bucketed-rank plan is row-identical to the naive stratum window") {
+    // the scale-safe formulation (md5-prefix bucket histogram + per-bucket
+    // rank + exact offsets) must reproduce the naive whole-stratum window
+    // EXACTLY — same rows, same rk — on a corpus AND on a skewed frame
+    // where one stratum dominates
+    import org.apache.spark.sql.expressions.Window
+    def naive(docs: org.apache.spark.sql.DataFrame, frac: Double) = {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_stratum"))
+      docs.select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(counts), Seq("lang"))
+        .withColumn("n_take", ceil(col("n_stratum") * lit(frac)))
+        .filter(col("rk") <= col("n_take"))
+        .select(col("doc_id"), col("lang"), col("rk"), col("n_take"))
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val skewed = spark.range(3000).select(col("id").as("doc_id"),
+      when(col("id") % 100 === 0, "rare").otherwise("hot").as("lang"))
+    for ((df, frac) <- Seq((docs, 0.2), (docs, 0.999), (skewed, 0.1))) {
+      val a = Sampling.stratifiedSample(df, "lang", frac)
+        .orderBy("doc_id").collect().toSeq
+      val b = naive(df, frac).orderBy("doc_id").collect().toSeq
+      assert(a === b, s"frac=$frac")
+    }
+    // plan pin: no Window partitioned by the bare stratum — every window
+    // partition key must include the md5 bucket (the whole point)
+    val plan = Sampling.stratifiedSample(docs, "lang", 0.2)
+      .queryExecution.executedPlan.toString
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("_bk#")),
+      s"window partition keys missing the md5 bucket: $winSpecs")
+  }
+
   // ----------------------------------------------------------------- sqTopK
 
   test("sq top-k: int8 quantization keeps high recall vs exact brute force") {
