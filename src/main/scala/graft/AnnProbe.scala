@@ -25,8 +25,9 @@ object AnnProbe {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
     val brute = graft.ops.Similarity.bruteTopK(emb, k = 10, stride = 200)
+    val (_, bSec0) = time(brute.count()) // session warmup absorbed here
     val (_, bSec) = time(brute.count())
-    println(f"[ann] brute: $bSec%.2f s")
+    println(f"[ann] brute: $bSec%.2f s (first $bSec0%.2f s)")
     for (it <- Seq(0, iters)) {
       val ivf = graft.ops.Similarity.ivfTopK(emb, k = 10, stride = 200,
         nlist = 64, nprobe = 8, kmeansIters = it)

@@ -62,13 +62,31 @@ object Similarity {
     * per (task, query), never the candidate set.
     */
   def bruteTopK(emb: DataFrame, k: Int = 10, stride: Int = 50): DataFrame = {
-    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val base = withNorm(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
     val queries = base.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("q"))
+      .select(col("vec_id").as("q_id"), col("v").as("q"), col("nv").as("nq"))
     val scored = base.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosine(col("q"), col("v")).as("cos"))
+      .select(col("q_id"), col("vec_id"), cosPre(col("q"), col("v")).as("cos"))
     rankTopK(scored, k)
   }
+
+  /** Attach the vector norm ONCE per row (separate select so CollapseProject
+    * cannot inline `v` into the norm — `dot(v, v)` references it twice).
+    * The O(Q x N) scoring stage then pays one dot + a multiply + a divide
+    * per PAIR instead of three dots: `cosine(a, b)` recomputes BOTH norms
+    * per pair, which triples the flops of every brute/IVF/PQ scan (guide
+    * §1.2 step 2 — per-task work). cos = dot/(nq*nv) is bit-identical:
+    * the same strictly sequential sums, the same sqrt(a)*sqrt(b) multiply
+    * order, just factored out of the pair loop.
+    */
+  private def withNorm(base: DataFrame): DataFrame =
+    base.select(base.columns.map(col) :+ norm(col("v")).as("nv"): _*)
+
+  /** cosine with precomputed norms — `a` side norm first, matching
+    * `VectorKernels.cosine`'s sqrt(daa) * sqrt(dbb) order exactly.
+    */
+  private def cosPre(q: Column, v: Column): Column =
+    dot(q, v) / (col("nq") * col("nv"))
 
   /** Spherical-k-means centroid training (deterministic hash-sampled
     * seeds + `kmeansIters` Lloyd refinements); returns the NORMALIZED
@@ -167,12 +185,13 @@ object Similarity {
         struct((dot(v, typedlit(cv)) / nv).as("cos"), lit(i).as("c_idx"))
       }
 
-    val assigned = base
+    val assigned = withNorm(base
       .withColumn("list_id",
         graft.functions.VectorExpr.argmax_dot(col("v"), typedlit(centsNorm)))
-      .select("vec_id", "v", "list_id")
+      .select("vec_id", "v", "list_id"))
 
     // probes: per query the nprobe best centroids, exploded — Q*nprobe rows
+    // (norm(q) is computed once for probe selection and KEPT for scoring)
     val queries = base.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q"))
     val probes = queries
@@ -180,13 +199,13 @@ object Similarity {
       .withColumn("probe_lists",
         slice(sort_array(array(centScores(col("q"), col("nq")): _*), asc = false),
           1, nprobe))
-      .select(col("q_id"), col("q"), explode(col("probe_lists").getField("c_idx"))
-        .as("list_id"))
+      .select(col("q_id"), col("q"), col("nq"),
+        explode(col("probe_lists").getField("c_idx")).as("list_id"))
 
     rankTopK(
       assigned.join(broadcast(probes), "list_id")
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), cosine(col("q"), col("v")).as("cos")),
+        .select(col("q_id"), col("vec_id"), cosPre(col("q"), col("v")).as("cos")),
       k)
   }
 
@@ -395,18 +414,18 @@ object Similarity {
       .withColumn("probe_lists",
         slice(sort_array(array(centScores(col("q"), col("nq")): _*), asc = false),
           1, nprobe))
-      .select(col("q_id"), col("q"),
+      .select(col("q_id"), col("q"), col("nq"),
         explode(col("probe_lists").getField("c_idx")).as("list_id"))
     // bounded driver materialization (<= nlist ints): makes the partition
     // filter STATIC so pruning happens at file listing, not execution
     val probedLists: Seq[Int] = probes.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val assigned = spark.read.parquet(s"$snap/assigned.parquet")
-      .filter(col("list_id").isin(probedLists: _*))
+    val assigned = withNorm(spark.read.parquet(s"$snap/assigned.parquet")
+      .filter(col("list_id").isin(probedLists: _*)))
     rankTopK(
       assigned.join(broadcast(probes), "list_id")
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), cosine(col("q"), col("v")).as("cos")),
+        .select(col("q_id"), col("vec_id"), cosPre(col("q"), col("v")).as("cos")),
       k)
   }
 
@@ -567,12 +586,12 @@ object Similarity {
     */
   def sqTopK(emb: DataFrame, k: Int = 10, stride: Int = 50): DataFrame = {
     val (mn, mx) = sqTrain(emb)
-    val base = emb.select(col("vec_id"),
-      sqRecon(asDouble(col("embedding")), mn, mx).as("v"))
+    val base = withNorm(emb.select(col("vec_id"),
+      sqRecon(asDouble(col("embedding")), mn, mx).as("v")))
     val queries = base.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("q"))
+      .select(col("vec_id").as("q_id"), col("v").as("q"), col("nv").as("nq"))
     val scored = base.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosine(col("q"), col("v")).as("cos"))
+      .select(col("q_id"), col("vec_id"), cosPre(col("q"), col("v")).as("cos"))
     rankTopK(scored, k)
   }
 
@@ -675,11 +694,15 @@ object Similarity {
     val cb = pqTrain(emb, m, codebookK, iters)
     val sub = cb.head.head.size
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // reconstructed-candidate norm once per ROW (separate select — no
+    // collapse), query norm once per query: the ADC shortlist scan pays
+    // one dot per pair instead of three
     val cand = base.select(col("vec_id"), pqRecon(col("v"), cb, sub).as("r"))
+      .select(col("vec_id"), col("r"), norm(col("r")).as("nv"))
     val queries = base.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("q"))
+      .select(col("vec_id").as("q_id"), col("v").as("q"), norm(col("v")).as("nq"))
     val scored = cand.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosine(col("q"), col("r")).as("cos"))
+      .select(col("q_id"), col("vec_id"), cosPre(col("q"), col("r")).as("cos"))
     val short = rankTopK(scored, shortlist).select("q_id", "vec_id")
     val rer = short.join(base, Seq("vec_id"))
       .join(broadcast(queries), Seq("q_id"))
