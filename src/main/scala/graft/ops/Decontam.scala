@@ -55,8 +55,14 @@ object Decontam {
     */
   def splitAndOverlap(docs: DataFrame, n: Int = 8,
       valBucketMax: String = "0d", textCol: String = "text"): DataFrame = {
-    val withSplit = docs.join(
-      Sampling.hashSplit(docs, valBucketMax), Seq("doc_id"))
+    // the split is a PURE per-row function of doc_id (md5 bucket) — derive
+    // it as a narrow column instead of joining hashSplit back on doc_id:
+    // the join doubled every corpus scan downstream (each branch of
+    // overlap re-read docs twice through the join) for a value the row
+    // already determines. Same split rule as Sampling.hashSplit.
+    val withSplit = docs.withColumn("split",
+      when(substring(md5(col("doc_id").cast("string")), 1, 2) < lit(valBucketMax),
+        "val").otherwise("train"))
     overlap(
       withSplit.filter(col("split") === "train"),
       withSplit.filter(col("split") === "val"),
