@@ -46,14 +46,18 @@ object Curation {
     val nearDupIds = Dedup.ngramJaccardPairs(s1, n = 3, threshold = jaccard)
       .select(col("doc_b").as("doc_id")).distinct()
     val s2 = s1.join(nearDupIds, Seq("doc_id"), "left_anti")
-    // 3. language filter on the predicted language
-    val langIds = TextMetrics.langId(s2)
-      .filter(col("lang_pred") === lang).select("doc_id")
-    val s3 = s2.join(langIds, Seq("doc_id"))
-    // 4. split assignment + token accounting
-    val out = TextMetrics.tokenCounts(s3)
-      .join(Sampling.hashSplit(s3).select("doc_id", "split"), Seq("doc_id"))
-      .select("doc_id", "split", "ws_tokens", "bpe_ish_tokens")
+    // 3. language filter — the prediction is a pure per-row function, so
+    // it is a FILTER (same argmax/tiebreak Column the langId frame emits),
+    // not a compute-then-join-back: the join re-derived the s2 chain once
+    // per side (guide §2.4 — remove shuffles outright)
+    val s3 = s2.filter(TextMetrics.langPred(col("text")) === lang)
+    // 4. split assignment + token accounting — both pure per-row columns
+    // (the former tokenCounts ⋈ hashSplit joined two projections of the
+    // SAME frame on doc_id); one projection, zero joins, same rows
+    val out = s3.select(col("doc_id"),
+        Sampling.splitCol(col("doc_id")).as("split"),
+        TextMetrics.wsTokens(col("text")).as("ws_tokens"),
+        TextMetrics.bpeIshTokens(col("text")).as("bpe_ish_tokens"))
       .localCheckpoint()
     s1.unpersist()
     out
@@ -105,11 +109,12 @@ object Curation {
     val spanOk = SpanDedup.profile(s1, w = spanW)
       .filter(col("dup_frac") <= spanDupFrac).select("doc_id")
     val s2 = s1.join(spanOk, Seq("doc_id"))
-    // 3. Gopher rules with the corpus's en stopword profile
+    // 3. Gopher rules with the corpus's en stopword profile — applied as
+    // the composable keep FILTER (identical conjunction to the flags
+    // frame's `keep`), not a compute-then-join-back
     val enStops = TextMetrics.stopwords.toMap.apply("en")
-    val gOk = GopherRules.flags(s2, stopwords = enStops)
-      .filter(col("keep")).select("doc_id")
-    val s3 = s2.join(gOk, Seq("doc_id")).cache()
+    val s3 = s2.filter(GopherRules.keepCol(col("text"), stopwords = enStops))
+      .cache()
     s3.count() // materialized -> the s1 snapshot can be released
     s1.unpersist()
     // 4. perplexity terciles trained on the survivors; drop the tail.

@@ -61,8 +61,7 @@ object Decontam {
     // overlap re-read docs twice through the join) for a value the row
     // already determines. Same split rule as Sampling.hashSplit.
     val withSplit = docs.withColumn("split",
-      when(substring(md5(col("doc_id").cast("string")), 1, 2) < lit(valBucketMax),
-        "val").otherwise("train"))
+      Sampling.splitCol(col("doc_id"), valBucketMax))
     overlap(
       withSplit.filter(col("split") === "train"),
       withSplit.filter(col("split") === "val"),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / dataset-split operators.
@@ -32,6 +32,15 @@ object Sampling {
         substring(md5(col(idCol).cast("string")), 1, 2).as("bucket"))
       .withColumn("split",
         when(col("bucket") < lit(valBucketMax), "val").otherwise("train"))
+
+  /** The split assignment as a composable per-row Column — compositions
+    * attach it as a projection instead of joining [[hashSplit]] back by
+    * id (the join doubled every downstream corpus scan for a value the
+    * row already determines).
+    */
+  def splitCol(id: Column, valBucketMax: String = "0d"): Column =
+    when(substring(md5(id.cast("string")), 1, 2) < lit(valBucketMax), "val")
+      .otherwise("train")
 
   /** Per-split counts — the summary a pipeline logs to prove the split
     * fraction landed where expected.

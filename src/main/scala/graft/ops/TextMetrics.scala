@@ -79,6 +79,12 @@ object TextMetrics {
   /** Whitespace token count as a composable Column (= `ws_tokens`). */
   def wsTokens(text: Column): Column = size(words(text))
 
+  /** BPE-ish regex token count as a composable Column (= `bpe_ish_tokens`,
+    * the exact expression [[tokenCounts]] emits).
+    */
+  def bpeIshTokens(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
   /** Stopword-hit language ID: argmax of per-language hit counts, ties
     * broken by language code order (deterministic).
     */
