@@ -73,6 +73,53 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("all-null-event-time groups still get a closure deadline (no eternal state)") {
+    import spark.implicits._
+    // round-6 fix (round-5 advisor finding): a bucket whose rows ALL carry
+    // null ts previously never set a timeout — its keyed state was
+    // retained forever. Now it closes at watermark + gap like any other.
+    val in = Files.createTempDirectory("graft_sd_null").toString
+    // chunk 1: two near-identical docs with NULL event time → they bucket
+    // together and their bands' state forms with no timeout source
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta", null),
+        (2L, "alpha beta gamma delta epsilon zeta eta theta", null))
+      .toDF("doc_id", "text", "ts")
+      .select(col("doc_id"), col("text"), col("ts").cast("timestamp").as("ts"))
+      .coalesce(1).write.mode("append").parquet(in)
+    val stream = spark.readStream.schema(baseDocs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val pairs = StreamDedup.nearDupPairs(spark, stream,
+      numHashes = 64, bands = 16, threshold = 0.3, maxBucket = 10000,
+      watermark = "1 second", gap = "1 second")
+    val q = pairs.writeStream.format("memory").queryName("sd_null")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // state formed: the null-ts near-dups were matched against each other
+      assert(spark.sql("select count(*) from sd_null").head().getLong(0) > 0)
+      val rowsBefore = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(rowsBefore > 0, "expected keyed state for the null-ts bucket")
+      // chunk 2: one real-ts doc far in the future → watermark jumps past
+      // the null-ts groups' (watermark-at-arrival + gap) deadline
+      Seq((100L, "completely different words entirely here now", ts(100000)))
+        .toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+      // chunk 3: another batch so the timed-out groups are processed
+      Seq((101L, "another unrelated document body of text", ts(100001)))
+        .toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+      // the probe docs create their own fresh groups, so total row count
+      // is not the signal — numRowsRemoved is: without the fix no timeout
+      // is ever set for the null-ts groups and nothing is EVER removed
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators.headOption).map(_.numRowsRemoved).sum
+      assert(removed >= rowsBefore,
+        s"null-ts state not released: $rowsBefore groups, only $removed removed")
+    } finally q.stop()
+  }
+
   test("a saturated bucket stops emitting and frees its members") {
     import spark.implicits._
     // 30 identical texts → every band bucket holds all of them; cap at 5
